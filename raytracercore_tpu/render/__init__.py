@@ -1,0 +1,4 @@
+from . import camera, film, integrator, renderer  # noqa: F401
+from .film import Film  # noqa: F401
+from .integrator import trace  # noqa: F401
+from .renderer import Renderer, render_pass  # noqa: F401

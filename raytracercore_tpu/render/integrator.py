@@ -1,0 +1,248 @@
+"""The wavefront path-tracing integrator.
+
+This is the TPU rebuild of ``Raytracer.GetColor`` (Raytracing/Raytracer.cs:
+65-246): instead of one recursive ray per pixel per thread, a whole batch of
+rays advances through a ``lax.fori_loop`` over bounces; terminated rays are
+masked out and their results frozen.  All reference semantics are preserved:
+
+* direction renormalized every 3 bounces (Raytracer.cs:74-75)
+* primary miss → "Placeholder" miss sample; secondary miss → the scene's
+  ambient color returned UNTINTED (Raytracer.cs:85-90)
+* ``debug geom`` mode: flat spec+diff+emission of the first hit (:93-98)
+* rough shading normal: ``z = U^(1/shininess)`` cone sample around the true
+  normal (RandomShine, :51-56)
+* exact Fresnel s/p-wave average with total internal reflection, applied to
+  the luminance-weighted branch probabilities (:120-157)
+* single stochastic branch per bounce ∝ luminance: transmit / specular (with
+  the rough-normal fail path) / diffuse (``z = 2·acos(U)/π``) / emission
+  (:163-229); throughput multiplied by chosen albedo × ``max(totalLum, 1)``
+  (:238-240); termination returns ``tint · emission`` (:245)
+* self-intersection via the previous-hit skip record, not ray epsilons (:77)
+
+Differentiability: branch *selection* is discrete (comparisons carry no
+gradient); the realized path's albedo/Fresnel/totalLum factors stay on the
+tape, so ``jax.grad`` of a pixel w.r.t. material parameters matches finite
+differences of the same fixed-RNG estimator.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import vecmath as vm
+from ..core.color import luminance
+from ..intersect.dispatch import HitRecord, closest_hit
+from ..scene.types import SceneArrays
+
+TWO_PI = 6.283185307179586
+
+
+class PathState(struct.PyTreeNode):
+    ray_o: jnp.ndarray    # [R, 3]
+    ray_d: jnp.ndarray    # [R, 3]
+    tint: jnp.ndarray     # [R, 3] running throughput
+    alive: jnp.ndarray    # [R] bool — still bouncing
+    result: jnp.ndarray   # [R, 3] final color once dead
+    miss: jnp.ndarray     # [R] bool — sample counts as a miss
+    prev: HitRecord       # previous bounce's hit (skip record)
+
+
+def _random_shine(u_z, u_theta, normal, shininess):
+    """RandomShine (Raytracer.cs:51-56): perturb the shading normal on a cone
+    with ``z = U^(1/shininess)``; shininess=+inf ⇒ z=1 (unperturbed)."""
+    z = jnp.where(jnp.isinf(shininess), 1.0,
+                  jnp.power(u_z, 1.0 / shininess))
+    theta = u_theta * TWO_PI
+    return vm.create_horizon(normal, z, theta)
+
+
+def _gather_material(mats, prim):
+    safe = jnp.maximum(prim, 0)
+    g3 = lambda a: jnp.take(a, safe, axis=0)
+    g1 = lambda a: jnp.take(a, safe)
+    return {
+        "emission": g3(mats.emission),
+        "diffuse": g3(mats.diffuse),
+        "specular": g3(mats.specular),
+        "refraction": g3(mats.refraction),
+        "ior": g1(mats.refractive_index),
+        "shininess": g1(mats.shininess),
+    }
+
+
+def trace(scene: SceneArrays, ray_o, ray_d, key,
+          closest_fn=closest_hit):
+    """Trace a batch of camera rays to final colors.
+
+    Args:
+      scene: frozen SceneArrays.
+      ray_o, ray_d: [R, 3] camera rays (unit directions).
+      key: PRNG key for this batch; bounce ``i`` consumes
+        ``fold_in(key, i)``.
+      closest_fn: closest-hit implementation (brute or BVH).
+
+    Returns:
+      (color [R, 3], miss [R] bool) — ``miss`` marks Placeholder samples
+      (primary miss, or any miss under ``ambient miss``).
+    """
+    R = ray_o.shape[0]
+    dtype = ray_o.dtype
+    ambient = scene.ambient_rgb.astype(dtype)
+
+    state = PathState(
+        ray_o=ray_o,
+        ray_d=ray_d,
+        tint=jnp.ones((R, 3), dtype),
+        alive=jnp.ones((R,), bool),
+        result=jnp.zeros((R, 3), dtype),
+        miss=jnp.zeros((R,), bool),
+        prev=HitRecord.none(R, dtype),
+    )
+
+    recursion = scene.recursion
+
+    def body(i, state: PathState):
+        # Periodic renormalization (Raytracer.cs:74-75).
+        d = jnp.where(i % 3 == 0, vm.normalize(state.ray_d), state.ray_d)
+
+        hit = closest_fn(scene, state.ray_o, d, state.prev)
+        active = state.alive
+        found = hit.found
+
+        # --- miss handling (Raytracer.cs:81-91) -------------------------
+        m_primary = active & ~found & (i == 0)
+        m_secondary = active & ~found & (i != 0)
+        result = state.result
+        miss = state.miss | m_primary
+        if scene.ambient_is_miss:
+            miss = miss | m_secondary
+        else:
+            result = jnp.where(m_secondary[:, None], ambient, result)
+        alive = active & found
+
+        mat = _gather_material(scene.materials, hit.prim)
+        emission = mat["emission"]
+
+        # --- recursion complete (Raytracer.cs:100-104) ------------------
+        done = alive & (i >= recursion)
+        result = jnp.where(done[:, None], state.tint * emission, result)
+        alive = alive & ~done
+
+        # --- shading (only meaningful where alive) ----------------------
+        u = jax.random.uniform(jax.random.fold_in(key, i), (R, 5),
+                               dtype=dtype)
+
+        rough_n = _random_shine(u[:, 0], u[:, 1], hit.normal,
+                                mat["shininess"])
+
+        diff_lum = luminance(mat["diffuse"])
+        spec_lum = luminance(mat["specular"])
+        refr_lum = luminance(mat["refraction"])
+        emis_lum = luminance(emission)
+
+        cos = -vm.dot(rough_n, d)
+
+        # Fresnel split (Raytracer.cs:120-157).
+        can_refract = ((refr_lum > 0) | (spec_lum > 0)) & \
+            (mat["ior"] != 0) & (cos >= 0)
+        ior_in = jnp.where(hit.inside, mat["ior"],
+                           scene.air_refractive_index.astype(dtype))
+        ior_out = jnp.where(hit.inside,
+                            scene.air_refractive_index.astype(dtype),
+                            mat["ior"])
+        safe_out = jnp.where(ior_out == 0, 1.0, ior_out)
+        ior_ratio = ior_in / safe_out
+        sin_out = ior_ratio * jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
+        tir = sin_out >= 1.0
+        cos_out = jnp.sqrt(jnp.maximum(1.0 - sin_out * sin_out, 0.0))
+        rs = ((ior_out * cos) - (ior_in * cos_out)) / \
+             jnp.where((ior_out * cos) + (ior_in * cos_out) == 0, 1.0,
+                       (ior_out * cos) + (ior_in * cos_out))
+        rp = ((ior_in * cos) - (ior_out * cos_out)) / \
+             jnp.where((ior_in * cos) + (ior_out * cos_out) == 0, 1.0,
+                       (ior_in * cos) + (ior_out * cos_out))
+        fresnel = (rs * rs + rp * rp) / 2.0
+
+        spec_lum = jnp.where(can_refract & ~tir,
+                             spec_lum * fresnel, spec_lum)
+        refr_lum = jnp.where(can_refract & ~tir,
+                             refr_lum * (1.0 - fresnel),
+                             jnp.zeros_like(refr_lum))
+
+        total_lum = diff_lum + spec_lum + refr_lum + emis_lum
+
+        # Pure black termination (Raytracer.cs:165-169).
+        black = alive & (total_lum <= 0)
+        result = jnp.where(black[:, None], state.tint * emission, result)
+        alive = alive & ~black
+
+        # --- stochastic branch selection (Raytracer.cs:177-229) ---------
+        ray_rand = u[:, 2] * total_lum
+        pick_refr = (refr_lum != 0) & (ray_rand - refr_lum <= 0)
+        r2 = ray_rand - refr_lum
+        pick_spec = ~pick_refr & (spec_lum != 0) & (r2 - spec_lum <= 0)
+        r3 = r2 - spec_lum
+        pick_diff = ~pick_refr & ~pick_spec & (diff_lum != 0) & \
+            (r3 - diff_lum <= 0)
+        pick_emit = ~pick_refr & ~pick_spec & ~pick_diff
+
+        # Transmission (Raytracer.cs:181-193).
+        refr_dir = (rough_n * (-cos_out)[:, None]
+                    + (d + rough_n * cos[:, None]) * ior_ratio[:, None])
+        refr_tint = jnp.where(hit.inside[:, None],
+                              jnp.ones_like(mat["refraction"]),
+                              mat["refraction"])
+
+        # Specular with rough-normal fail (Raytracer.cs:194-209).
+        spec_dir = vm.reflect(rough_n, d, cos)
+        spec_ok = vm.dot(spec_dir, hit.normal) > 0
+
+        # Diffuse (Raytracer.cs:210-219): z = 2·acos(U)/π around the TRUE
+        # normal (not the rough normal).
+        z = 2.0 * jnp.arccos(jnp.clip(u[:, 3], 0.0, 1.0)) / jnp.pi
+        diff_dir = vm.create_horizon(hit.normal, z, u[:, 4] * TWO_PI)
+
+        # Terminal branches: emission pick, or failed specular.
+        terminal = alive & (pick_emit | (pick_spec & ~spec_ok))
+        result = jnp.where(terminal[:, None], state.tint * emission, result)
+        alive = alive & ~terminal
+
+        out_dir = jnp.where(pick_refr[:, None], refr_dir,
+                            jnp.where(pick_spec[:, None], spec_dir,
+                                      diff_dir))
+        new_tint = jnp.where(pick_refr[:, None], refr_tint,
+                             jnp.where(pick_spec[:, None], mat["specular"],
+                                       mat["diffuse"]))
+        # Energy compensation (Raytracer.cs:238-240).
+        new_tint = new_tint * jnp.maximum(total_lum, 1.0)[:, None]
+
+        bounced = alive
+        sel = bounced[:, None]
+        ray_o = jnp.where(sel, hit.position, state.ray_o)
+        ray_d = jnp.where(sel, out_dir, d)
+        tint = jnp.where(sel, state.tint * new_tint, state.tint)
+
+        prev = HitRecord(
+            prim=jnp.where(bounced, hit.prim, state.prev.prim),
+            t=jnp.where(bounced, hit.t, state.prev.t),
+            position=jnp.where(sel, hit.position, state.prev.position),
+            normal=jnp.where(sel, hit.normal, state.prev.normal),
+            inside=jnp.where(bounced, hit.inside, state.prev.inside),
+        )
+
+        return PathState(ray_o=ray_o, ray_d=ray_d, tint=tint, alive=alive,
+                         result=result, miss=miss, prev=prev)
+
+    if scene.debug_geom:
+        # Flat geometry view (Raytracer.cs:93-98): first hit's
+        # spec+diff+emission; primary misses stay misses.
+        hit = closest_fn(scene, state.ray_o, state.ray_d, None)
+        mat = _gather_material(scene.materials, hit.prim)
+        color = mat["specular"] + mat["diffuse"] + mat["emission"]
+        color = jnp.where(hit.found[:, None], color, 0.0)
+        return color, ~hit.found
+
+    state = jax.lax.fori_loop(0, recursion + 1, body, state)
+    return state.result, state.miss

@@ -1,0 +1,151 @@
+"""Progressive renderer — the orchestration layer.
+
+Replaces ``FullRaytracer`` (Raytracing/FullRaytracer.cs): where the reference
+spawns one OS thread per core and deals tiles round-robin through a mutex
+(FullRaytracer.cs:219-229, 297-302), the TPU build runs one jitted
+full-frame render pass per sample — the whole image is the "tile", the
+device's vector lanes are the "threads".  Progressive refinement = calling
+``step`` repeatedly; every pass adds +1 sample/pixel exactly like the
+reference's wraparound tile loop (Raytracer.cs:302-327).
+
+Status/throughput reporting mirrors the reference's samples/px/sec metric
+(FullRaytracer.cs:346-357); checkpointing saves the film + sample counter
+(impossible in the reference, whose accumulators are RAM-only — SURVEY §5.4).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..intersect.dispatch import closest_hit
+from ..scene.types import (HostScene, SceneArrays, freeze_scene, init_camera)
+from . import camera as cam_mod
+from .film import Film
+from .integrator import trace
+
+
+@functools.partial(jax.jit, static_argnames=("closest_fn",))
+def render_pass(scene: SceneArrays, camera, film: Film, key,
+                closest_fn=closest_hit) -> Film:
+    """One full-frame progressive pass: +1 sample for every pixel."""
+    h, w = film.shape
+    px, py = cam_mod.pixel_grid(w, h)
+    k_cam, k_path = jax.random.split(key)
+    ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
+    color, miss = trace(scene, ray_o, ray_d, k_path, closest_fn=closest_fn)
+    return film.add_full_frame(color, miss)
+
+
+class Renderer:
+    """Progressive scene renderer with pause/resume/checkpoint.
+
+    Equivalent surface to FullRaytracer: Start (construct), step/run
+    (render loop), status throughput, GetBitmap (image()), camera switching
+    (Scene.NextCamera, Scene.cs:122-135).
+    """
+
+    def __init__(self, scene: HostScene, camera_index: int = 0,
+                 dtype=jnp.float32, seed: int = 0,
+                 closest_fn=closest_hit):
+        self.host_scene = scene
+        self.dtype = dtype
+        self.arrays = freeze_scene(scene, dtype=dtype)
+        self.camera_index = camera_index
+        self.closest_fn = closest_fn
+        self._base_key = jax.random.PRNGKey(seed)
+        self.reset()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def reset(self) -> None:
+        s = self.host_scene
+        self.camera = init_camera(s.cameras[self.camera_index], s.width,
+                                  s.height, dtype=self.dtype)
+        self.film = Film.create(s.height, s.width, self.dtype)
+        self.pass_index = 0
+        self._elapsed = 0.0
+
+    def next_camera(self) -> bool:
+        """Cycle cameras; returns True on wraparound (Scene.cs:127-135).
+        Resets accumulation like the reference's render restart."""
+        self.camera_index += 1
+        wrapped = self.camera_index >= len(self.host_scene.cameras)
+        if wrapped:
+            self.camera_index = 0
+        self.reset()
+        return wrapped
+
+    # -- rendering ---------------------------------------------------------
+
+    def step(self, n: int = 1) -> None:
+        """Run n progressive passes (+n samples/pixel)."""
+        t0 = time.perf_counter()
+        for _ in range(n):
+            key = jax.random.fold_in(self._base_key, self.pass_index)
+            self.film = render_pass(self.arrays, self.camera, self.film, key,
+                                    closest_fn=self.closest_fn)
+            self.pass_index += 1
+        jax.block_until_ready(self.film.color_sum)
+        self._elapsed += time.perf_counter() - t0
+
+    def run(self, spp: int, status_cb: Optional[Callable] = None,
+            status_every: int = 8) -> None:
+        """Render to a target samples/pixel with optional status callbacks
+        (the coordinator loop, FullRaytracer.cs:307-370)."""
+        while self.pass_index < spp:
+            n = min(status_every, spp - self.pass_index)
+            self.step(n)
+            if status_cb is not None:
+                status_cb(self.status())
+
+    # -- observability -----------------------------------------------------
+
+    def status(self) -> dict:
+        """Throughput metrics in the reference's terms
+        (FullRaytracer.cs:346-357): samples/px/sec plus the asymptotic
+        progress model spp/(spp+1000)."""
+        spp = self.pass_index
+        sps = spp / self._elapsed if self._elapsed > 0 else 0.0
+        h, w = self.film.shape
+        return {
+            "samples_per_px": spp,
+            "samples_per_px_per_sec": sps,
+            "paths_per_sec": sps * h * w,
+            "elapsed_sec": self._elapsed,
+            "progress": spp / (spp + 1000.0),
+        }
+
+    def image(self, exposure: float = 1.0) -> np.ndarray:
+        """Tonemapped uint8 RGBA frame (GetBitmap, FullRaytracer.cs:179-205)."""
+        s = self.host_scene
+        out = self.film.to_uint8(
+            jnp.asarray(s.background_rgb, self.dtype),
+            jnp.asarray(s.background_alpha, self.dtype), exposure)
+        return np.asarray(out)
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        np.savez(path,
+                 color_sum=np.asarray(self.film.color_sum),
+                 samples=np.asarray(self.film.samples),
+                 misses=np.asarray(self.film.misses),
+                 pass_index=self.pass_index,
+                 camera_index=self.camera_index)
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        self.camera_index = int(data["camera_index"])
+        s = self.host_scene
+        self.camera = init_camera(s.cameras[self.camera_index], s.width,
+                                  s.height, dtype=self.dtype)
+        self.film = Film(color_sum=jnp.asarray(data["color_sum"]),
+                         samples=jnp.asarray(data["samples"]),
+                         misses=jnp.asarray(data["misses"]))
+        self.pass_index = int(data["pass_index"])
