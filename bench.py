@@ -1,0 +1,98 @@
+"""Benchmark: bounce.txt Cornell box at the reference's headline config.
+
+Reference baseline (BASELINE.md): 6.240 samples/px/sec on bounce.txt at
+700x700, recursion 10, on the author's multi-core AVX2 x86 (status bar in
+Screenshots/app.png; metric computed by FullRaytracer.cs:346-357).
+
+Primary metric: forward samples/px/sec at the same config on one TPU chip;
+vs_baseline is the ratio to 6.240.  Extra fields report path/ray throughput
+and the fwd+bwd (render + material-gradient) step rate.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SAMPLES_PX_SEC = 6.240
+SIZE = 700
+RECURSION = 10
+PASSES = 8
+
+
+def main():
+    import optax
+
+    from raytracercore_tpu.diff import get_material_params
+    from raytracercore_tpu.parallel.shard import make_train_step
+    from raytracercore_tpu.render.film import Film
+    from raytracercore_tpu.render.renderer import render_pass
+    from raytracercore_tpu.scene import loader
+    from raytracercore_tpu.scene.types import freeze_scene, init_camera
+
+    scene = loader.from_file("/root/reference/Scenes/bounce.txt")
+    scene.width = scene.height = SIZE
+    scene.recursion = RECURSION
+    arrays = freeze_scene(scene)
+    camera = init_camera(scene.cameras[0], SIZE, SIZE)
+    film = Film.create(SIZE, SIZE)
+    key = jax.random.PRNGKey(0)
+
+    # --- forward ---------------------------------------------------------
+    film = render_pass(arrays, camera, film, key)          # compile
+    jax.block_until_ready(film.color_sum)
+    t0 = time.perf_counter()
+    for i in range(PASSES):
+        film = render_pass(arrays, camera, film,
+                           jax.random.fold_in(key, i + 1))
+    jax.block_until_ready(film.color_sum)
+    dt_fwd = (time.perf_counter() - t0) / PASSES
+
+    pixels = SIZE * SIZE
+    spp_sec = 1.0 / dt_fwd              # one sample/px per pass
+    paths_sec = pixels / dt_fwd
+    # Ray segments: every path runs ≤ recursion+1 wavefront steps; report
+    # the wavefront-step count (what the chip actually executes).
+    rays_sec_fwd = pixels * (RECURSION + 1) / dt_fwd
+
+    # --- forward+backward (material-gradient train step) -----------------
+    optimizer = optax.adam(1e-2)
+    params = get_material_params(arrays)
+    opt_state = optimizer.init(params)
+    target = jnp.zeros((SIZE, SIZE, 3), arrays.materials.emission.dtype)
+    step = make_train_step(None, optimizer)
+    params, opt_state, loss = step(params, arrays, camera, target, opt_state,
+                                   key)                     # compile
+    jax.block_until_ready(loss)
+    n_bwd = max(PASSES // 2, 2)
+    t0 = time.perf_counter()
+    for i in range(n_bwd):
+        params, opt_state, loss = step(params, arrays, camera, target,
+                                       opt_state, jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    dt_fb = (time.perf_counter() - t0) / n_bwd
+    rays_sec_fb = pixels * (RECURSION + 1) / dt_fb
+
+    print(json.dumps({
+        "metric": "samples/px/sec fwd, bounce.txt 700x700 rec10",
+        "value": round(spp_sec, 4),
+        "unit": "samples/px/sec",
+        "vs_baseline": round(spp_sec / BASELINE_SAMPLES_PX_SEC, 3),
+        "extra": {
+            "paths_per_sec_fwd": round(paths_sec, 1),
+            "wavefront_rays_per_sec_fwd": round(rays_sec_fwd, 1),
+            "fwdbwd_steps_per_sec": round(1.0 / dt_fb, 4),
+            "wavefront_rays_per_sec_fwdbwd": round(rays_sec_fb, 1),
+            "device": str(jax.devices()[0]),
+            "baseline_samples_px_sec": BASELINE_SAMPLES_PX_SEC,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,17 @@ def rotate_about_axis(vec, axis, theta):
     )
 
 
+def safe_sqrt(x, floor=1e-20):
+    """sqrt with the argument floored away from 0.
+
+    ``sqrt`` has an infinite derivative at 0; under reverse-mode AD the
+    resulting inf/NaN leaks through ``jnp.where`` even for unselected
+    branches (0·inf = NaN).  Flooring keeps the forward value numerically
+    identical (≤1e-10 for the default floor) and the gradient finite.
+    """
+    return jnp.sqrt(jnp.maximum(x, floor))
+
+
 def create_horizon(pole, z, theta):
     """Point on the cone of height ``z`` around unit ``pole``, azimuth ``theta``.
 
@@ -113,7 +124,7 @@ def create_horizon(pole, z, theta):
     This is the basis of every BRDF sample in the reference integrator.
     """
     horiz = create_horizontal(pole)
-    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))[..., None]
+    s = safe_sqrt(1.0 - z * z)[..., None]
     base = pole * z[..., None] + horiz * s
     return rotate_about_axis(base, pole, theta)
 

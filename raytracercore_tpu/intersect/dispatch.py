@@ -181,17 +181,21 @@ def closest_hit(scene: SceneArrays, ray_o, ray_d, skip: HitRecord | None
     found = jnp.isfinite(jnp.min(ts, axis=1))
 
     # --- details per table winner ---------------------------------------
+    # Losing/missing winners gather t = inf; computing positions with inf
+    # would produce NaNs that leak through the final selects in reverse-mode
+    # AD, so every gathered winner value is sanitized to a finite dummy.
     gather = lambda grid, idx: jnp.take_along_axis(
         grid, idx[:, None], axis=1)[:, 0]
+    fin = lambda x: jnp.where(jnp.isfinite(x), x, 0.0)
 
-    tri_u = gather(tc["u"], tri_idx)
-    tri_v = gather(tc["v"], tri_idx)
+    tri_u = fin(gather(tc["u"], tri_idx))
+    tri_v = fin(gather(tc["v"], tri_idx))
     tri_in_geo = gather(tc["inside"], tri_idx)
     tri_in = gather(t_inside, tri_idx)
     tri_p, tri_n = jnp_ref.triangle_hit_detail(tri, tri_idx, tri_u, tri_v,
                                                tri_in_geo)
 
-    sph_tobj_w = gather(sph_tobj, sph_idx)
+    sph_tobj_w = fin(gather(sph_tobj, sph_idx))
     sph_in_geo = gather(sph_geo_inside, sph_idx)
     sph_in = gather(sph_inside, sph_idx)
     o_obj_w = jnp.take_along_axis(
@@ -203,7 +207,7 @@ def closest_hit(scene: SceneArrays, ray_o, ray_d, skip: HitRecord | None
 
     pl_in_geo = gather(pc["inside"], pl_idx)
     pl_in = gather(p_inside, pl_idx)
-    pl_t_w = gather(pc["t"], pl_idx)
+    pl_t_w = fin(gather(pc["t"], pl_idx))
     pl_p, pl_n = jnp_ref.plane_hit_detail(pl, pl_idx, ray_o, ray_d, pl_t_w,
                                           pl_in_geo)
 
@@ -216,7 +220,7 @@ def closest_hit(scene: SceneArrays, ray_o, ray_d, skip: HitRecord | None
     position = pick3(tri_p, sph_p, pl_p)
     normal = pick3(tri_n, sph_n, pl_n)
     inside = pick3(tri_in, sph_in, pl_in)
-    t = pick3(tri_t, sph_t_exact, pl_t_w)
+    t = fin(pick3(fin(tri_t), sph_t_exact, pl_t_w))
 
     prim = pick3(jnp.take(tri.prim_id, tri_idx),
                  jnp.take(sph.prim_id, sph_idx),

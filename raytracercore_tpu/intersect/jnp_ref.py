@@ -145,7 +145,9 @@ def sphere_candidates(sph: Spheres, ray_o, ray_d):
     # Sphere.cs:196); NaNs poison reverse-mode AD through jnp.where, so the
     # discriminant test is explicit here with identical semantics.
     has_root = disc >= 0
-    radix = jnp.sqrt(jnp.where(has_root, disc, 0.0))
+    # Floored sqrt: the derivative at disc=0 (tangent rays) is infinite and
+    # would NaN reverse-mode AD through the later wheres.
+    radix = jnp.sqrt(jnp.maximum(jnp.where(has_root, disc, 1.0), 1e-20))
 
     table_ok = (sph.prim_id >= 0)[None, :]
     any_hit = has_root & (radix >= -b) & table_ok

@@ -39,6 +39,49 @@ from ..scene.types import SceneArrays
 TWO_PI = 6.283185307179586
 
 
+class BounceType:
+    """Per-bounce tags (Raytracer.BounceType, Raytracer.cs:14-26)."""
+
+    SKIPPED = 0
+    DIFFUSE = 1
+    SPECULAR = 2
+    SPECULAR_FAIL = 3
+    TRANSMITTED = 4
+    EMISSION = 5
+    PURE_BLACK = 6
+    RECURSION_COMPLETE = 7
+    MISSED = 8
+    DEBUG = 9
+
+    NAMES = ("Skipped", "Diffuse", "Specular", "SpecularFail", "Transmitted",
+             "Emission", "PureBlack", "RecursionComplete", "Missed", "Debug")
+
+
+class BounceRecords(struct.PyTreeNode):
+    """Per-bounce debug trace (the DebugRay records of Raytracer.cs:28-33),
+    [R, recursion+1] per field."""
+
+    btype: jnp.ndarray     # int32 BounceType
+    prim: jnp.ndarray      # int32 hit primitive (-1 miss)
+    t: jnp.ndarray         # hit distance
+    position: jnp.ndarray  # [R, B, 3]
+    normal: jnp.ndarray    # [R, B, 3]
+    inside: jnp.ndarray    # bool
+    fresnel: jnp.ndarray   # Fresnel ratio (NaN when not evaluated)
+
+    @classmethod
+    def create(cls, n, bounces, dtype=jnp.float32):
+        return cls(
+            btype=jnp.zeros((n, bounces), jnp.int32),
+            prim=jnp.full((n, bounces), -1, jnp.int32),
+            t=jnp.zeros((n, bounces), dtype),
+            position=jnp.zeros((n, bounces, 3), dtype),
+            normal=jnp.zeros((n, bounces, 3), dtype),
+            inside=jnp.zeros((n, bounces), bool),
+            fresnel=jnp.full((n, bounces), jnp.nan, dtype),
+        )
+
+
 class PathState(struct.PyTreeNode):
     ray_o: jnp.ndarray    # [R, 3]
     ray_d: jnp.ndarray    # [R, 3]
@@ -52,8 +95,10 @@ class PathState(struct.PyTreeNode):
 def _random_shine(u_z, u_theta, normal, shininess):
     """RandomShine (Raytracer.cs:51-56): perturb the shading normal on a cone
     with ``z = U^(1/shininess)``; shininess=+inf ⇒ z=1 (unperturbed)."""
+    # u is clipped away from 0: pow's derivative w.r.t. shininess carries
+    # ln(u), and ln(0) = -inf would NaN the backward pass.
     z = jnp.where(jnp.isinf(shininess), 1.0,
-                  jnp.power(u_z, 1.0 / shininess))
+                  jnp.power(jnp.clip(u_z, 1e-20, 1.0), 1.0 / shininess))
     theta = u_theta * TWO_PI
     return vm.create_horizon(normal, z, theta)
 
@@ -73,7 +118,7 @@ def _gather_material(mats, prim):
 
 
 def trace(scene: SceneArrays, ray_o, ray_d, key,
-          closest_fn=closest_hit):
+          closest_fn=closest_hit, record: bool = False):
     """Trace a batch of camera rays to final colors.
 
     Args:
@@ -82,10 +127,14 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
       key: PRNG key for this batch; bounce ``i`` consumes
         ``fold_in(key, i)``.
       closest_fn: closest-hit implementation (brute or BVH).
+      record: also return per-bounce :class:`BounceRecords` (the
+        GetDebugTrace path, Raytracer.cs:254-260) — same loop body, so the
+        debug view can never drift from the render path.
 
     Returns:
       (color [R, 3], miss [R] bool) — ``miss`` marks Placeholder samples
-      (primary miss, or any miss under ``ambient miss``).
+      (primary miss, or any miss under ``ambient miss``); with
+      ``record=True``, (color, miss, records).
     """
     R = ray_o.shape[0]
     dtype = ray_o.dtype
@@ -103,7 +152,8 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
 
     recursion = scene.recursion
 
-    def body(i, state: PathState):
+    def body(i, carry):
+        state, records = carry
         # Periodic renormalization (Raytracer.cs:74-75).
         d = jnp.where(i % 3 == 0, vm.normalize(state.ray_d), state.ray_d)
 
@@ -154,15 +204,20 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
                             mat["ior"])
         safe_out = jnp.where(ior_out == 0, 1.0, ior_out)
         ior_ratio = ior_in / safe_out
-        sin_out = ior_ratio * jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
+        sin_out = ior_ratio * vm.safe_sqrt(1.0 - cos * cos)
         tir = sin_out >= 1.0
-        cos_out = jnp.sqrt(jnp.maximum(1.0 - sin_out * sin_out, 0.0))
-        rs = ((ior_out * cos) - (ior_in * cos_out)) / \
-             jnp.where((ior_out * cos) + (ior_in * cos_out) == 0, 1.0,
-                       (ior_out * cos) + (ior_in * cos_out))
-        rp = ((ior_in * cos) - (ior_out * cos_out)) / \
-             jnp.where((ior_in * cos) + (ior_out * cos_out) == 0, 1.0,
-                       (ior_in * cos) + (ior_out * cos_out))
+        cos_out = vm.safe_sqrt(1.0 - sin_out * sin_out)
+        # Fresnel terms evaluated with masked inputs: where refraction is
+        # impossible (cos<0, ior=0, TIR) the raw denominators can pass
+        # through 0 and rs² overflows to inf, which NaNs the backward pass
+        # through jnp.where even though the branch is unselected.
+        f_live = can_refract & ~tir
+        cos_f = jnp.where(f_live, cos, 1.0)
+        cos_out_f = jnp.where(f_live, cos_out, 1.0)
+        rs = ((ior_out * cos_f) - (ior_in * cos_out_f)) / \
+            ((ior_out * cos_f) + (ior_in * cos_out_f))
+        rp = ((ior_in * cos_f) - (ior_out * cos_out_f)) / \
+            ((ior_in * cos_f) + (ior_out * cos_out_f))
         fresnel = (rs * rs + rp * rp) / 2.0
 
         spec_lum = jnp.where(can_refract & ~tir,
@@ -232,8 +287,45 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
             inside=jnp.where(bounced, hit.inside, state.prev.inside),
         )
 
-        return PathState(ray_o=ray_o, ray_d=ray_d, tint=tint, alive=alive,
-                         result=result, miss=miss, prev=prev)
+        new_state = PathState(ray_o=ray_o, ray_d=ray_d, tint=tint,
+                              alive=alive, result=result, miss=miss,
+                              prev=prev)
+
+        if records is not None:
+            btype = jnp.full_like(hit.prim, BounceType.SKIPPED)
+            set_t = lambda bt, m, cur: jnp.where(m, bt, cur)
+            btype = set_t(BounceType.MISSED, m_primary | m_secondary, btype)
+            btype = set_t(BounceType.RECURSION_COMPLETE, done, btype)
+            btype = set_t(BounceType.PURE_BLACK, black, btype)
+            btype = set_t(BounceType.EMISSION,
+                          (terminal & pick_emit), btype)
+            btype = set_t(BounceType.SPECULAR_FAIL,
+                          (terminal & pick_spec & ~spec_ok), btype)
+            btype = set_t(BounceType.TRANSMITTED, bounced & pick_refr, btype)
+            btype = set_t(BounceType.SPECULAR, bounced & pick_spec, btype)
+            btype = set_t(BounceType.DIFFUSE, bounced & pick_diff, btype)
+            fr = jnp.where(active & can_refract,
+                           jnp.where(tir, 1.0, fresnel), jnp.nan)
+            touched = active
+            records = BounceRecords(
+                btype=records.btype.at[:, i].set(
+                    jnp.where(touched, btype, records.btype[:, i])),
+                prim=records.prim.at[:, i].set(
+                    jnp.where(touched, hit.prim, records.prim[:, i])),
+                t=records.t.at[:, i].set(
+                    jnp.where(touched, hit.t, records.t[:, i])),
+                position=records.position.at[:, i].set(
+                    jnp.where(touched[:, None], hit.position,
+                              records.position[:, i])),
+                normal=records.normal.at[:, i].set(
+                    jnp.where(touched[:, None], hit.normal,
+                              records.normal[:, i])),
+                inside=records.inside.at[:, i].set(
+                    jnp.where(touched, hit.inside, records.inside[:, i])),
+                fresnel=records.fresnel.at[:, i].set(fr),
+            )
+
+        return new_state, records
 
     if scene.debug_geom:
         # Flat geometry view (Raytracer.cs:93-98): first hit's
@@ -242,7 +334,24 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         mat = _gather_material(scene.materials, hit.prim)
         color = mat["specular"] + mat["diffuse"] + mat["emission"]
         color = jnp.where(hit.found[:, None], color, 0.0)
+        if record:
+            records = BounceRecords.create(R, recursion + 1, dtype)
+            records = records.replace(
+                btype=records.btype.at[:, 0].set(
+                    jnp.where(hit.found, BounceType.DEBUG,
+                              BounceType.MISSED)),
+                prim=records.prim.at[:, 0].set(hit.prim),
+                t=records.t.at[:, 0].set(hit.t),
+                position=records.position.at[:, 0].set(hit.position),
+                normal=records.normal.at[:, 0].set(hit.normal),
+                inside=records.inside.at[:, 0].set(hit.inside))
+            return color, ~hit.found, records
         return color, ~hit.found
 
-    state = jax.lax.fori_loop(0, recursion + 1, body, state)
+    records = BounceRecords.create(R, recursion + 1, dtype) if record \
+        else None
+    state, records = jax.lax.fori_loop(0, recursion + 1, body,
+                                       (state, records))
+    if record:
+        return state.result, state.miss, records
     return state.result, state.miss
