@@ -43,14 +43,19 @@ def main():
     film = Film.create(SIZE, SIZE)
     key = jax.random.PRNGKey(0)
 
+    def sync(x):
+        """True device sync: fetch a scalar to host (block_until_ready is
+        not a reliable fence on the axon remote platform)."""
+        return float(jnp.sum(x))
+
     # --- forward ---------------------------------------------------------
     film = render_pass(arrays, camera, film, key)          # compile
-    jax.block_until_ready(film.color_sum)
+    sync(film.samples)
     t0 = time.perf_counter()
     for i in range(PASSES):
         film = render_pass(arrays, camera, film,
                            jax.random.fold_in(key, i + 1))
-    jax.block_until_ready(film.color_sum)
+    sync(film.samples)
     dt_fwd = (time.perf_counter() - t0) / PASSES
 
     pixels = SIZE * SIZE
@@ -68,13 +73,13 @@ def main():
     step = make_train_step(None, optimizer)
     params, opt_state, loss = step(params, arrays, camera, target, opt_state,
                                    key)                     # compile
-    jax.block_until_ready(loss)
+    float(loss)
     n_bwd = max(PASSES // 2, 2)
     t0 = time.perf_counter()
     for i in range(n_bwd):
         params, opt_state, loss = step(params, arrays, camera, target,
                                        opt_state, jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    float(loss)
     dt_fb = (time.perf_counter() - t0) / n_bwd
     rays_sec_fb = pixels * (RECURSION + 1) / dt_fb
 

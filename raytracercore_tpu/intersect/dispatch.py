@@ -11,12 +11,25 @@ scene scan:
 * ``Scene.RayTracePrimitives`` (Scene.cs:65-111): keep the closest surviving
   hit across all primitives.
 
-Here all candidates are evaluated dense ([R rays × table]) and reduced with a
-masked argmin; the BVH path narrows the candidate set upstream.
+Performance/AD structure — every implementation is split into two phases:
+
+1. **Selection** (stop-gradient): find WHICH candidate wins — dense masked
+   argmin over [R × N] grids, or BVH traversal.  Discrete, cheap to
+   recompute, never on the AD tape; its [R × N] temporaries are dead after
+   the argmin so XLA fuses them instead of spilling to HBM, and the backward
+   pass never touches them.
+2. **Winner evaluation** (differentiable): re-run the single winning
+   primitive's intersection math per ray ([R]-shaped) to produce
+   t/position/normal with gradients attached.
+
+Two interchangeable closest-hit implementations share phase 2 and the
+cross-table combine: :func:`closest_hit` (dense) and
+:func:`make_bvh_closest_fn` (skip-link BVH for triangles).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -99,133 +112,251 @@ def _filter(mats, prim_ids, inside_geo, valid, ray_d, approx_pos, skip, eps):
 
 
 def _best(t, valid):
-    """Masked argmin over the table axis → (t_best [R], idx [R], any [R])."""
+    """Masked argmin over the table axis → (idx [R], any [R])."""
     t = jnp.where(valid, t, jnp.inf)
     idx = jnp.argmin(t, axis=1)
     t_best = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
-    return t_best, idx, jnp.isfinite(t_best)
+    return idx, jnp.isfinite(t_best)
 
 
-def closest_hit(scene: SceneArrays, ray_o, ray_d, skip: HitRecord | None
-                ) -> HitRecord:
-    """Closest surviving hit across all primitive tables (brute force).
+def _fin(x):
+    """Sanitize inf/NaN to 0 — losing winners evaluate to t = inf, and
+    computing positions with inf would leak NaNs through the final selects
+    in reverse-mode AD."""
+    return jnp.where(jnp.isfinite(x), x, 0.0)
 
-    ``skip`` carries the previous bounce's hit per ray (prim == -1 ⇒ none).
-    """
-    dtype = ray_o.dtype
-    eps_behind = vm.near_enough(dtype)
-    eps_pos = _position_eps(dtype)
-    mats = scene.materials
-    R = ray_o.shape[0]
 
-    # --- triangles -------------------------------------------------------
+def _sg_tree(x):
+    return None if x is None else jax.tree.map(jax.lax.stop_gradient, x)
+
+
+# ---------------------------------------------------------------------------
+# Triangles
+# ---------------------------------------------------------------------------
+
+def _triangle_select_dense(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
+    """Phase 1 (stop-grad): dense [R × T] scan → winner index per ray."""
     tri = scene.triangles
     tc = jnp_ref.triangle_candidates(tri, ray_o, ray_d, eps_behind)
-    tri_pos_approx = ray_o[:, None, :] + ray_d[:, None, :] * jnp.where(
+    pos_approx = ray_o[:, None, :] + ray_d[:, None, :] * jnp.where(
         tc["valid"], tc["t"], 0.0)[..., None]
-    t_valid, t_inside = _filter(mats, tri.prim_id, tc["inside"], tc["valid"],
-                                ray_d, tri_pos_approx, skip, eps_pos)
-    tri_t, tri_idx, tri_any = _best(tc["t"], t_valid)
+    valid, _ = _filter(scene.materials, tri.prim_id, tc["inside"],
+                       tc["valid"], ray_d, pos_approx, skip, eps_pos)
+    return _best(tc["t"], valid)
 
-    # --- spheres (near + far roots as separate candidate sets) ----------
+
+def _triangle_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):
+    """Phase 2 (differentiable): one Möller–Trumbore per ray on the winner.
+
+    Shared by the dense and BVH paths.
+    """
+    tri = scene.triangles
+    safe = jnp.maximum(idx, 0)
+    g3 = lambda a: jnp.take(a, safe, axis=0)
+    mt = jnp_ref.moller_trumbore(
+        ray_o, ray_d, g3(tri.v0), g3(tri.e1), g3(tri.e2), g3(tri.normal),
+        jnp.take(tri.mirror, safe), any_, eps_behind)
+    prim_ids = jnp.take(tri.prim_id, safe)
+    invert = jnp.take(scene.materials.invert, jnp.maximum(prim_ids, 0))
+    inside = jnp.where(invert, ~mt["inside"], mt["inside"])
+    any_ = any_ & mt["valid"]
+    pos, nrm = jnp_ref.triangle_hit_detail(
+        tri, safe, _fin(mt["u"]), _fin(mt["v"]), mt["inside"])
+    return {
+        "t": _fin(mt["t"]), "any": any_, "prim": prim_ids,
+        "inside": inside, "position": pos, "normal": nrm,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spheres
+# ---------------------------------------------------------------------------
+
+def _sphere_select(scene, ray_o, ray_d, skip, eps_pos):
+    """Phase 1 (stop-grad): dense sphere scan (near+far roots) →
+    (idx [R], use_near [R], any [R])."""
     sph = scene.spheres
+    mats = scene.materials
     sc = jnp_ref.sphere_candidates(sph, ray_o, ray_d)
 
     def sphere_set(t_obj, valid, inside_flag):
-        # World-metric approx position for skip matching (object t equals
-        # world t for untransformed; transformed uses the exact recompute in
-        # the detail pass — approximate here with the object-ray point mapped
-        # by obj_to_world, which is exact for position).
         pos_obj = sc["o_obj"] + sc["d_obj"] * jnp.where(
             valid, t_obj, 0.0)[..., None]
         pos_w = (jnp.einsum("sij,rsj->rsi", sph.obj_to_world[:, :3, :3],
                             pos_obj) + sph.obj_to_world[None, :, :3, 3])
         inside = jnp.broadcast_to(inside_flag, valid.shape)
-        valid2, inside2 = _filter(mats, sph.prim_id, inside, valid,
-                                  ray_d, pos_w, skip, eps_pos)
-        # Sort in world-metric t so cross-table comparison is consistent.
+        valid2, _ = _filter(mats, sph.prim_id, inside, valid,
+                            ray_d, pos_w, skip, eps_pos)
         t_w = jnp.sum(ray_d[:, None, :] * (pos_w - ray_o[:, None, :]),
                       axis=-1)
-        t_w = jnp.where(valid2, t_w, jnp.inf)
-        return t_w, t_obj, valid2, inside2
+        return jnp.where(valid2, t_w, jnp.inf), valid2
 
-    near_tw, near_tobj, near_valid, near_inside = sphere_set(
-        sc["t_near_obj"], sc["valid_near"], False)
-    far_tw, far_tobj, far_valid, far_inside = sphere_set(
-        sc["t_far_obj"], sc["valid_far"], True)
+    near_tw, near_valid = sphere_set(sc["t_near_obj"], sc["valid_near"],
+                                     False)
+    far_tw, far_valid = sphere_set(sc["t_far_obj"], sc["valid_far"], True)
 
-    # Per-sphere best of (near, far): near root is always closer, so prefer
-    # near when valid (matches the reference's ordered candidate scan).
-    sph_tw = jnp.where(near_valid, near_tw, far_tw)
-    sph_tobj = jnp.where(near_valid, near_tobj, far_tobj)
-    sph_inside = jnp.where(near_valid, near_inside, far_inside)
-    sph_geo_inside = jnp.where(near_valid, False, True)  # pre-invert flag
-    sph_valid = near_valid | far_valid
-    sph_t, sph_idx, sph_any = _best(
-        jnp.where(sph_valid, sph_tw, jnp.inf), sph_valid)
+    # Near root is always closer; prefer it when valid (the reference's
+    # ordered candidate scan, Sphere.cs:199-209).
+    tw = jnp.where(near_valid, near_tw, far_tw)
+    valid = near_valid | far_valid
+    idx, any_ = _best(jnp.where(valid, tw, jnp.inf), valid)
+    use_near = jnp.take_along_axis(near_valid, idx[:, None], axis=1)[:, 0]
+    return idx, use_near, any_
 
-    # --- planes ----------------------------------------------------------
+
+def _sphere_winner_eval(scene, idx, use_near, any_, ray_o, ray_d):
+    """Phase 2 (differentiable): re-solve the winning sphere per ray
+    (Sphere.DoRayTrace math on [R] gathered rows, Sphere.cs:175-209)."""
+    sph = scene.spheres
+    safe = jnp.maximum(idx, 0)
+    take = lambda a: jnp.take(a, safe, axis=0)
+    w2o = take(sph.world_to_obj)
+    o_obj = jnp.einsum("rij,rj->ri", w2o[:, :3, :3], ray_o) + w2o[:, :3, 3]
+    d_obj = jnp.einsum("rij,rj->ri", w2o[:, :3, :3], ray_d)
+    d_obj = d_obj / vm.safe_sqrt(
+        jnp.sum(d_obj * d_obj, axis=-1))[:, None]
+
+    offset = o_obj - take(sph.center)
+    b = -2.0 * jnp.sum(offset * d_obj, axis=-1)
+    c = jnp.sum(offset * offset, axis=-1) - take(sph.radius) ** 2
+    disc = b * b - 4.0 * c
+    radix = jnp.sqrt(jnp.maximum(jnp.where(disc >= 0, disc, 1.0), 1e-20))
+    t_obj = jnp.where(use_near, (b - radix) / 2.0, (b + radix) / 2.0)
+    inside_geo = ~use_near
+
+    pos, nrm, t = jnp_ref.sphere_hit_detail(sph, safe, ray_o, ray_d, o_obj,
+                                            d_obj, _fin(t_obj), inside_geo)
+    prim_ids = take(sph.prim_id)
+    invert = jnp.take(scene.materials.invert, jnp.maximum(prim_ids, 0))
+    inside = jnp.where(invert, ~inside_geo, inside_geo)
+    return {
+        "t": _fin(t), "any": any_ & (disc >= 0), "prim": prim_ids,
+        "inside": inside, "position": pos, "normal": nrm,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Planes
+# ---------------------------------------------------------------------------
+
+def _plane_select(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
     pl = scene.planes
     pc = jnp_ref.plane_candidates(pl, ray_o, ray_d, eps_behind)
-    pl_pos_approx = ray_o[:, None, :] + ray_d[:, None, :] * jnp.where(
+    pos_approx = ray_o[:, None, :] + ray_d[:, None, :] * jnp.where(
         pc["valid"], pc["t"], 0.0)[..., None]
-    p_valid, p_inside = _filter(mats, pl.prim_id, pc["inside"], pc["valid"],
-                                ray_d, pl_pos_approx, skip, eps_pos)
-    pl_t, pl_idx, pl_any = _best(pc["t"], p_valid)
+    valid, _ = _filter(scene.materials, pl.prim_id, pc["inside"],
+                       pc["valid"], ray_d, pos_approx, skip, eps_pos)
+    return _best(pc["t"], valid)
 
-    # --- cross-table reduction ------------------------------------------
-    ts = jnp.stack([jnp.where(tri_any, tri_t, jnp.inf),
-                    jnp.where(sph_any, sph_t, jnp.inf),
-                    jnp.where(pl_any, pl_t, jnp.inf)], axis=1)
+
+def _plane_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):
+    pl = scene.planes
+    safe = jnp.maximum(idx, 0)
+    n = jnp.take(pl.normal, safe, axis=0)
+    dist0 = jnp.take(pl.origin_dist, safe)
+    ray_dist = jnp.sum(ray_o * n, axis=-1)
+    denom = jnp.sum(ray_d * n, axis=-1)
+    coplanar = (denom == 0) & (jnp.abs(dist0 - ray_dist)
+                               <= eps_behind * (1.0 + jnp.abs(dist0)))
+    t = jnp.where(denom != 0,
+                  (dist0 - ray_dist) / jnp.where(denom == 0, 1.0, denom),
+                  0.0)
+    t = jnp.where(coplanar, 0.0, jnp.abs(t))
+    inside_geo = jnp.where(coplanar, True, denom > 0)
+    pos, nrm = jnp_ref.plane_hit_detail(pl, safe, ray_o, ray_d, _fin(t),
+                                        inside_geo)
+    prim_ids = jnp.take(pl.prim_id, safe)
+    invert = jnp.take(scene.materials.invert, jnp.maximum(prim_ids, 0))
+    inside = jnp.where(invert, ~inside_geo, inside_geo)
+    return {
+        "t": _fin(t), "any": any_, "prim": prim_ids,
+        "inside": inside, "position": pos, "normal": nrm,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Combine
+# ---------------------------------------------------------------------------
+
+def _combine(tri_w, sph_w, pl_w):
+    """Cross-table min reduction over the three winner records."""
+    ts = jnp.stack([jnp.where(tri_w["any"], tri_w["t"], jnp.inf),
+                    jnp.where(sph_w["any"], sph_w["t"], jnp.inf),
+                    jnp.where(pl_w["any"], pl_w["t"], jnp.inf)], axis=1)
     table = jnp.argmin(ts, axis=1)
     found = jnp.isfinite(jnp.min(ts, axis=1))
 
-    # --- details per table winner ---------------------------------------
-    # Losing/missing winners gather t = inf; computing positions with inf
-    # would produce NaNs that leak through the final selects in reverse-mode
-    # AD, so every gathered winner value is sanitized to a finite dummy.
-    gather = lambda grid, idx: jnp.take_along_axis(
-        grid, idx[:, None], axis=1)[:, 0]
-    fin = lambda x: jnp.where(jnp.isfinite(x), x, 0.0)
-
-    tri_u = fin(gather(tc["u"], tri_idx))
-    tri_v = fin(gather(tc["v"], tri_idx))
-    tri_in_geo = gather(tc["inside"], tri_idx)
-    tri_in = gather(t_inside, tri_idx)
-    tri_p, tri_n = jnp_ref.triangle_hit_detail(tri, tri_idx, tri_u, tri_v,
-                                               tri_in_geo)
-
-    sph_tobj_w = fin(gather(sph_tobj, sph_idx))
-    sph_in_geo = gather(sph_geo_inside, sph_idx)
-    sph_in = gather(sph_inside, sph_idx)
-    o_obj_w = jnp.take_along_axis(
-        sc["o_obj"], sph_idx[:, None, None], axis=1)[:, 0]
-    d_obj_w = jnp.take_along_axis(
-        sc["d_obj"], sph_idx[:, None, None], axis=1)[:, 0]
-    sph_p, sph_n, sph_t_exact = jnp_ref.sphere_hit_detail(
-        sph, sph_idx, ray_o, ray_d, o_obj_w, d_obj_w, sph_tobj_w, sph_in_geo)
-
-    pl_in_geo = gather(pc["inside"], pl_idx)
-    pl_in = gather(p_inside, pl_idx)
-    pl_t_w = fin(gather(pc["t"], pl_idx))
-    pl_p, pl_n = jnp_ref.plane_hit_detail(pl, pl_idx, ray_o, ray_d, pl_t_w,
-                                          pl_in_geo)
-
     def pick3(a, b, c):
-        return jnp.where((table == 0)[..., None] if a.ndim == 2
-                         else table == 0, a,
-                         jnp.where((table == 1)[..., None] if a.ndim == 2
-                                   else table == 1, b, c))
+        cond0 = (table == 0)[..., None] if a.ndim == 2 else table == 0
+        cond1 = (table == 1)[..., None] if a.ndim == 2 else table == 1
+        return jnp.where(cond0, a, jnp.where(cond1, b, c))
 
-    position = pick3(tri_p, sph_p, pl_p)
-    normal = pick3(tri_n, sph_n, pl_n)
-    inside = pick3(tri_in, sph_in, pl_in)
-    t = fin(pick3(fin(tri_t), sph_t_exact, pl_t_w))
-
-    prim = pick3(jnp.take(tri.prim_id, tri_idx),
-                 jnp.take(sph.prim_id, sph_idx),
-                 jnp.take(pl.prim_id, pl_idx))
+    position = pick3(tri_w["position"], sph_w["position"], pl_w["position"])
+    normal = pick3(tri_w["normal"], sph_w["normal"], pl_w["normal"])
+    inside = pick3(tri_w["inside"], sph_w["inside"], pl_w["inside"])
+    t = _fin(pick3(tri_w["t"], sph_w["t"], pl_w["t"]))
+    prim = pick3(tri_w["prim"], sph_w["prim"], pl_w["prim"])
     prim = jnp.where(found, prim, -1)
 
     return HitRecord(prim=prim.astype(jnp.int32), t=t, position=position,
                      normal=normal, inside=inside)
+
+
+def _closest_from_tri_select(scene, ray_o, ray_d, skip, tri_select_fn):
+    """Common driver: stop-grad selection for all tables, differentiable
+    winner evaluation, cross-table combine."""
+    dtype = ray_o.dtype
+    eps_behind = vm.near_enough(dtype)
+    eps_pos = _position_eps(dtype)
+
+    sg = jax.lax.stop_gradient
+    scene_sg = _sg_tree(scene)
+    o_sg, d_sg = sg(ray_o), sg(ray_d)
+    skip_sg = _sg_tree(skip)
+
+    tri_idx, tri_any = tri_select_fn(scene_sg, o_sg, d_sg, skip_sg,
+                                     eps_behind, eps_pos)
+    sph_idx, use_near, sph_any = _sphere_select(scene_sg, o_sg, d_sg,
+                                                skip_sg, eps_pos)
+    pl_idx, pl_any = _plane_select(scene_sg, o_sg, d_sg, skip_sg,
+                                   eps_behind, eps_pos)
+
+    tri_w = _triangle_winner_eval(scene, tri_idx, tri_any, ray_o, ray_d,
+                                  eps_behind)
+    sph_w = _sphere_winner_eval(scene, sph_idx, use_near, sph_any, ray_o,
+                                ray_d)
+    pl_w = _plane_winner_eval(scene, pl_idx, pl_any, ray_o, ray_d,
+                              eps_behind)
+    return _combine(tri_w, sph_w, pl_w)
+
+
+def closest_hit(scene: SceneArrays, ray_o, ray_d, skip: HitRecord | None
+                ) -> HitRecord:
+    """Closest surviving hit across all primitive tables (dense selection).
+
+    ``skip`` carries the previous bounce's hit per ray (prim == -1 ⇒ none).
+    """
+    return _closest_from_tri_select(scene, ray_o, ray_d, skip,
+                                    _triangle_select_dense)
+
+
+def make_bvh_closest_fn(bvh):
+    """Closest-hit with triangle selection routed through the skip-link BVH.
+
+    The traversal (a ``lax.while_loop``) is not reverse-differentiable — it
+    runs in the stop-grad selection phase and returns only the winning
+    triangle index; gradients see exactly one triangle per ray.
+    """
+    from ..bvh.traverse import traverse_closest
+
+    def tri_select_bvh(scene_sg, o_sg, d_sg, skip_sg, eps_behind, eps_pos):
+        best_idx, _ = traverse_closest(bvh, scene_sg.triangles,
+                                       scene_sg.materials, o_sg, d_sg,
+                                       skip_sg, eps_behind, eps_pos)
+        return jnp.maximum(best_idx, 0), best_idx >= 0
+
+    def closest(scene: SceneArrays, ray_o, ray_d, skip) -> HitRecord:
+        return _closest_from_tri_select(scene, ray_o, ray_d, skip,
+                                        tri_select_bvh)
+
+    return closest

@@ -29,8 +29,8 @@ def _dot_rn(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def triangle_candidates(tri: Triangles, ray_o, ray_d, near_enough):
-    """Möller–Trumbore over all (ray, triangle) pairs.
+def moller_trumbore(o, d, v0, e1, e2, normal, mirror, table_ok, near_enough):
+    """Möller–Trumbore core on broadcast-compatible operand shapes.
 
     Mirrors the scalar path Triangle.DoRayTrace (Triangle.cs:148-207)
     including the degenerate ray-in-plane branch (:161-171), backface
@@ -38,24 +38,20 @@ def triangle_candidates(tri: Triangles, ray_o, ray_d, near_enough):
     ``-NearEnough`` (:189).  The ``mirror`` flag widens the UV test from
     ``u+v ≤ 1`` to ``v ≤ 1`` (parallelogram, :118/:167).
 
-    Returns dict of [R, T] arrays: t, u, v, inside, valid.
+    Shapes: vector operands [..., 3]; mirror/table_ok bool [...].
+    Returns dict of [...] arrays: t, u, v, inside, valid.
     """
-    o = ray_o[:, None, :]
-    d = ray_d[:, None, :]
-    v0 = tri.v0[None, :, :]
-    e1 = tri.e1[None, :, :]
-    e2 = tri.e2[None, :, :]
-
-    side = jnp.cross(d, e2)              # [R, T, 3]
-    det = _dot_rn(e1, side)              # Edge0to1 · (d × e2)
+    dot = lambda a, b: jnp.sum(a * b, axis=-1)
+    side = jnp.cross(d, e2)
+    det = dot(e1, side)                  # Edge0to1 · (d × e2)
     offset = o - v0
 
     # Non-degenerate path
     inv_det = jnp.where(det != 0, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-    u_n = inv_det * _dot_rn(offset, side)
+    u_n = inv_det * dot(offset, side)
     off_cross = jnp.cross(offset, e1)
-    v_n = inv_det * _dot_rn(d, off_cross)
-    t_n = inv_det * _dot_rn(e2, off_cross)
+    v_n = inv_det * dot(d, off_cross)
+    t_n = inv_det * dot(e2, off_cross)
     inside_n = inv_det < 0
 
     # Degenerate path: ray origin lies in the triangle plane (det == 0).
@@ -65,26 +61,36 @@ def triangle_candidates(tri: Triangles, ray_o, ray_d, near_enough):
     # its comment assumes, which fabricates t=0 hits for rays exactly
     # parallel to a triangle's plane (unreachable with f64 jittered camera
     # rays, common with batched axis-aligned rays).  We add the check.
-    u_d = _dot_rn(e1, offset)
-    v_d = _dot_rn(e2, offset)
-    on_plane = jnp.abs(_dot_rn(offset, tri.normal[None, :, :])) <= near_enough
+    u_d = dot(e1, offset)
+    v_d = dot(e2, offset)
+    on_plane = jnp.abs(dot(offset, normal)) <= near_enough
 
     degenerate = (det == 0) & on_plane
+
     u = jnp.where(degenerate, u_d, u_n)
     v = jnp.where(degenerate, v_d, v_n)
     t = jnp.where(degenerate, 0.0, t_n)
     inside = jnp.where(degenerate, True, inside_n)
 
-    uv_limit = jnp.where(tri.mirror[None, :], v, u + v)
+    uv_limit = jnp.where(mirror, v, u + v)
     uv_ok = (u >= 0) & (u <= 1) & (v >= 0) & (uv_limit <= 1)
     ahead = degenerate | (t >= -near_enough)
     # det == 0 off-plane is a miss (the zeroed inv_det would otherwise make
     # u = v = t = 0 pass every test).
     solvable = (det != 0) | degenerate
-    valid = uv_ok & ahead & solvable & (tri.prim_id >= 0)[None, :]
+    valid = uv_ok & ahead & solvable & table_ok
 
     t = jnp.where(valid, t, INF)
     return {"t": t, "u": u, "v": v, "inside": inside, "valid": valid}
+
+
+def triangle_candidates(tri: Triangles, ray_o, ray_d, near_enough):
+    """Möller–Trumbore over all (ray, triangle) pairs → [R, T] grids."""
+    return moller_trumbore(
+        ray_o[:, None, :], ray_d[:, None, :],
+        tri.v0[None, :, :], tri.e1[None, :, :], tri.e2[None, :, :],
+        tri.normal[None, :, :], tri.mirror[None, :],
+        (tri.prim_id >= 0)[None, :], near_enough)
 
 
 def triangle_hit_detail(tri: Triangles, idx, u, v, inside):

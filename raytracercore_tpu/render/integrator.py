@@ -350,6 +350,12 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
 
     records = BounceRecords.create(R, recursion + 1, dtype) if record \
         else None
+    # Rematerialize each bounce in the backward pass: without this, reverse
+    # AD saves every per-bounce intersection grid ([bounces, R, prims]
+    # residuals — hundreds of MB at 700², the HBM killer).  Recomputing a
+    # bounce is cheap relative to HBM traffic (SURVEY §7 design stance:
+    # jax.checkpoint trades FLOPs for memory).
+    body = jax.checkpoint(body, prevent_cse=False)
     state, records = jax.lax.fori_loop(0, recursion + 1, body,
                                        (state, records))
     if record:

@@ -52,12 +52,27 @@ class Renderer:
 
     def __init__(self, scene: HostScene, camera_index: int = 0,
                  dtype=jnp.float32, seed: int = 0,
-                 closest_fn=closest_hit):
+                 accelerator: str = "auto", closest_fn=None):
+        """``accelerator``: "brute" (dense scan), "bvh", or "auto" — BVH
+        once the triangle table outgrows the dense scan's sweet spot
+        (mirrors Scene.Prepare building the BVH lazily, Scene.cs:39-49)."""
         self.host_scene = scene
         self.dtype = dtype
         self.arrays = freeze_scene(scene, dtype=dtype)
         self.camera_index = camera_index
-        self.closest_fn = closest_fn
+        if closest_fn is not None:
+            self.closest_fn = closest_fn
+        else:
+            n_tris = len(scene.triangles)
+            use_bvh = accelerator == "bvh" or (
+                accelerator == "auto" and n_tris > 256)
+            if use_bvh:
+                from ..bvh import build_bvh
+                from ..intersect.dispatch import make_bvh_closest_fn
+                self.bvh = build_bvh(scene, dtype=dtype)
+                self.closest_fn = make_bvh_closest_fn(self.bvh)
+            else:
+                self.closest_fn = closest_hit
         self._base_key = jax.random.PRNGKey(seed)
         self.reset()
 
@@ -91,7 +106,9 @@ class Renderer:
             self.film = render_pass(self.arrays, self.camera, self.film, key,
                                     closest_fn=self.closest_fn)
             self.pass_index += 1
-        jax.block_until_ready(self.film.color_sum)
+        # Host fetch of a scalar = true device fence (block_until_ready is
+        # not reliable on remote platforms).
+        float(self.film.samples[0, 0])
         self._elapsed += time.perf_counter() - t0
 
     def run(self, spp: int, status_cb: Optional[Callable] = None,
