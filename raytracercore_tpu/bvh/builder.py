@@ -122,8 +122,14 @@ def _build(idx, bmin, bmax, centers, leaf_size, n_bins=16):
 
 def build_triangle_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                        mirror: np.ndarray, valid: np.ndarray,
-                       leaf_size: int = 4, dtype=jnp.float32) -> BVHArrays:
-    """Build a skip-link BVH over the valid rows of a triangle table."""
+                       leaf_size: int = 4, dtype=jnp.float32,
+                       backend: str = "auto") -> BVHArrays:
+    """Build a skip-link BVH over the valid rows of a triangle table.
+
+    ``backend``: "numpy" (the reference implementation below), "native"
+    (the C++ builder in ../native — same layout, built for million-triangle
+    scenes), or "auto" (native when available and worthwhile).
+    """
     tri_idx = np.nonzero(valid)[0]
     if len(tri_idx) == 0:
         return BVHArrays(
@@ -133,6 +139,30 @@ def build_triangle_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
             leaf_prims=jnp.full((1, leaf_size), -1, jnp.int32))
 
     bmin, bmax = triangle_bounds(v0, e1, e2, mirror)
+
+    if backend != "numpy":
+        from ..native import build_bvh_native
+
+        use_native = backend == "native" or len(tri_idx) >= 4096
+        if use_native:
+            out = build_bvh_native(
+                np.asarray(bmin[tri_idx], np.float32),
+                np.asarray(bmax[tri_idx], np.float32), leaf_size)
+            if out is not None:
+                nb_min, nb_max, skip, slot, prims = out
+                # Leaf entries index the valid subset — map back to table
+                # rows.
+                mapped = np.where(prims >= 0,
+                                  tri_idx[np.maximum(prims, 0)], -1)
+                return BVHArrays(
+                    bmin=jnp.asarray(nb_min, dtype),
+                    bmax=jnp.asarray(nb_max, dtype),
+                    skip=jnp.asarray(skip, jnp.int32),
+                    leaf_slot=jnp.asarray(slot, jnp.int32),
+                    leaf_prims=jnp.asarray(mapped.astype(np.int32)))
+            if backend == "native":
+                raise RuntimeError("native BVH builder unavailable")
+
     centers = (bmin + bmax) / 2.0
     root = _build(tri_idx, bmin, bmax, centers, leaf_size)
 

@@ -35,7 +35,7 @@ from flax import struct
 
 from ..core import vecmath as vm
 from ..scene.types import SceneArrays
-from . import jnp_ref
+from . import jnp_ref, select_tr
 
 
 class HitRecord(struct.PyTreeNode):
@@ -135,14 +135,11 @@ def _sg_tree(x):
 # ---------------------------------------------------------------------------
 
 def _triangle_select_dense(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
-    """Phase 1 (stop-grad): dense [R × T] scan → winner index per ray."""
-    tri = scene.triangles
-    tc = jnp_ref.triangle_candidates(tri, ray_o, ray_d, eps_behind)
-    pos_approx = ray_o[:, None, :] + ray_d[:, None, :] * jnp.where(
-        tc["valid"], tc["t"], 0.0)[..., None]
-    valid, _ = _filter(scene.materials, tri.prim_id, tc["inside"],
-                       tc["valid"], ray_d, pos_approx, skip, eps_pos)
-    return _best(tc["t"], valid)
+    """Phase 1 (stop-grad): dense scan → winner index per ray.  Uses the
+    transposed [T, rays] kernels (rays in the lane dimension)."""
+    return select_tr.triangle_select(scene.triangles, scene.materials,
+                                     ray_o, ray_d, skip, eps_behind,
+                                     eps_pos)
 
 
 def _triangle_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):
@@ -173,35 +170,10 @@ def _triangle_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):
 # ---------------------------------------------------------------------------
 
 def _sphere_select(scene, ray_o, ray_d, skip, eps_pos):
-    """Phase 1 (stop-grad): dense sphere scan (near+far roots) →
+    """Phase 1 (stop-grad): transposed sphere scan (near+far roots) →
     (idx [R], use_near [R], any [R])."""
-    sph = scene.spheres
-    mats = scene.materials
-    sc = jnp_ref.sphere_candidates(sph, ray_o, ray_d)
-
-    def sphere_set(t_obj, valid, inside_flag):
-        pos_obj = sc["o_obj"] + sc["d_obj"] * jnp.where(
-            valid, t_obj, 0.0)[..., None]
-        pos_w = (jnp.einsum("sij,rsj->rsi", sph.obj_to_world[:, :3, :3],
-                            pos_obj) + sph.obj_to_world[None, :, :3, 3])
-        inside = jnp.broadcast_to(inside_flag, valid.shape)
-        valid2, _ = _filter(mats, sph.prim_id, inside, valid,
-                            ray_d, pos_w, skip, eps_pos)
-        t_w = jnp.sum(ray_d[:, None, :] * (pos_w - ray_o[:, None, :]),
-                      axis=-1)
-        return jnp.where(valid2, t_w, jnp.inf), valid2
-
-    near_tw, near_valid = sphere_set(sc["t_near_obj"], sc["valid_near"],
-                                     False)
-    far_tw, far_valid = sphere_set(sc["t_far_obj"], sc["valid_far"], True)
-
-    # Near root is always closer; prefer it when valid (the reference's
-    # ordered candidate scan, Sphere.cs:199-209).
-    tw = jnp.where(near_valid, near_tw, far_tw)
-    valid = near_valid | far_valid
-    idx, any_ = _best(jnp.where(valid, tw, jnp.inf), valid)
-    use_near = jnp.take_along_axis(near_valid, idx[:, None], axis=1)[:, 0]
-    return idx, use_near, any_
+    return select_tr.sphere_select(scene.spheres, scene.materials,
+                                   ray_o, ray_d, skip, eps_pos)
 
 
 def _sphere_winner_eval(scene, idx, use_near, any_, ray_o, ray_d):
@@ -240,13 +212,8 @@ def _sphere_winner_eval(scene, idx, use_near, any_, ray_o, ray_d):
 # ---------------------------------------------------------------------------
 
 def _plane_select(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
-    pl = scene.planes
-    pc = jnp_ref.plane_candidates(pl, ray_o, ray_d, eps_behind)
-    pos_approx = ray_o[:, None, :] + ray_d[:, None, :] * jnp.where(
-        pc["valid"], pc["t"], 0.0)[..., None]
-    valid, _ = _filter(scene.materials, pl.prim_id, pc["inside"],
-                       pc["valid"], ray_d, pos_approx, skip, eps_pos)
-    return _best(pc["t"], valid)
+    return select_tr.plane_select(scene.planes, scene.materials, ray_o,
+                                  ray_d, skip, eps_behind, eps_pos)
 
 
 def _plane_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):

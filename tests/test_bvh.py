@@ -165,3 +165,39 @@ def test_count_node_hits():
     counts = np.asarray(count_node_hits(bvh, o, d))
     assert counts.shape == (64,)
     assert (counts >= 0).all() and counts.max() <= bvh.n_nodes
+
+
+def test_native_builder_matches_semantics():
+    """The C++ builder produces a valid BVH whose traversal matches brute
+    force (structure may differ from the numpy builder; the contract is the
+    closest-hit result)."""
+    from raytracercore_tpu.native import native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native builder unavailable")
+
+    from raytracercore_tpu.bvh.builder import build_triangle_bvh
+    scene = random_tri_scene(120, seed=12)
+    arrays = freeze_scene(scene)
+    tris = scene.triangles
+    v0 = np.stack([t.v0 for t in tris])
+    e1 = np.stack([t.edge01 for t in tris])
+    e2 = np.stack([t.edge02 for t in tris])
+    mirror = np.array([t.mirror for t in tris], bool)
+    bvh = build_triangle_bvh(v0, e1, e2, mirror, np.ones(len(tris), bool),
+                             backend="native")
+    # Structural invariants.
+    skip = np.asarray(bvh.skip)
+    idx = np.arange(len(skip))
+    assert (skip > idx).all() and (skip <= len(skip)).all()
+    prims = np.asarray(bvh.leaf_prims)
+    used = prims[prims >= 0]
+    assert sorted(used.tolist()) == list(range(120))
+    # Traversal equivalence.
+    o, d = random_rays(256, seed=13)
+    ref = jax.jit(closest_hit)(arrays, o, d, None)
+    got = jax.jit(make_bvh_closest_fn(bvh))(arrays, o, d, None)
+    np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+    m = np.asarray(ref.found)
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5, atol=1e-5)
