@@ -134,12 +134,41 @@ def _sg_tree(x):
 # Triangles
 # ---------------------------------------------------------------------------
 
+# Selection implementation:
+#   "pallas" — fused Pallas TPU kernel (native tier: full lane occupancy,
+#              zero [rays × prims] HBM traffic); interpreted on CPU.
+#   "rt"     — [rays, prims] jnp grids (portable XLA fallback).
+#   "tr"     — transposed [prims, rays] componentwise jnp kernels (fast
+#              execution but pathological 450s+ XLA compiles on the axon
+#              remote-compile service — kept for when the toolchain
+#              improves).
+SELECT_IMPL = "pallas"
+
+# The Pallas kernel unrolls the table loops; route big scenes elsewhere
+# (brute force at that size is wrong anyway — use the BVH).
+_PALLAS_MAX_PRIMS = 768
+
+
 def _triangle_select_dense(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
-    """Phase 1 (stop-grad): dense scan → winner index per ray.  Uses the
-    transposed [T, rays] kernels (rays in the lane dimension)."""
-    return select_tr.triangle_select(scene.triangles, scene.materials,
-                                     ray_o, ray_d, skip, eps_behind,
-                                     eps_pos)
+    """Phase 1 (stop-grad): dense scan → winner index per ray."""
+    if SELECT_IMPL == "tr":
+        return select_tr.triangle_select(scene.triangles, scene.materials,
+                                         ray_o, ray_d, skip, eps_behind,
+                                         eps_pos)
+    return _triangle_select_rt(scene, ray_o, ray_d, skip, eps_behind,
+                               eps_pos)
+
+
+def _triangle_select_rt(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
+    """[rays, prims]-layout dense scan."""
+    tri = scene.triangles
+    tc = jnp_ref.triangle_candidates(tri, ray_o, ray_d, eps_behind)
+    pos_approx = ray_o[:, None, :] + ray_d[:, None, :] * jnp.where(
+        tc["valid"], tc["t"], 0.0)[..., None]
+    valid, _ = _filter(scene.materials, tri.prim_id, tc["inside"],
+                       tc["valid"], ray_d, pos_approx, skip, eps_pos)
+    return _best(tc["t"], valid)
+
 
 
 def _triangle_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):
@@ -170,10 +199,44 @@ def _triangle_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):
 # ---------------------------------------------------------------------------
 
 def _sphere_select(scene, ray_o, ray_d, skip, eps_pos):
-    """Phase 1 (stop-grad): transposed sphere scan (near+far roots) →
+    """Phase 1 (stop-grad): sphere scan (near+far roots) →
     (idx [R], use_near [R], any [R])."""
-    return select_tr.sphere_select(scene.spheres, scene.materials,
-                                   ray_o, ray_d, skip, eps_pos)
+    if SELECT_IMPL == "tr":
+        return select_tr.sphere_select(scene.spheres, scene.materials,
+                                       ray_o, ray_d, skip, eps_pos)
+    return _sphere_select_rt(scene, ray_o, ray_d, skip, eps_pos)
+
+
+def _sphere_select_rt(scene, ray_o, ray_d, skip, eps_pos):
+    """[rays, prims]-layout sphere scan."""
+    sph = scene.spheres
+    mats = scene.materials
+    sc = jnp_ref.sphere_candidates(sph, ray_o, ray_d)
+
+    def sphere_set(t_obj, valid, inside_flag):
+        pos_obj = sc["o_obj"] + sc["d_obj"] * jnp.where(
+            valid, t_obj, 0.0)[..., None]
+        pos_w = (jnp.einsum("sij,rsj->rsi", sph.obj_to_world[:, :3, :3],
+                            pos_obj) + sph.obj_to_world[None, :, :3, 3])
+        inside = jnp.broadcast_to(inside_flag, valid.shape)
+        valid2, _ = _filter(mats, sph.prim_id, inside, valid,
+                            ray_d, pos_w, skip, eps_pos)
+        t_w = jnp.sum(ray_d[:, None, :] * (pos_w - ray_o[:, None, :]),
+                      axis=-1)
+        return jnp.where(valid2, t_w, jnp.inf), valid2
+
+    near_tw, near_valid = sphere_set(sc["t_near_obj"], sc["valid_near"],
+                                     False)
+    far_tw, far_valid = sphere_set(sc["t_far_obj"], sc["valid_far"], True)
+
+    # Near root is always closer; prefer it when valid (the reference's
+    # ordered candidate scan, Sphere.cs:199-209).
+    tw = jnp.where(near_valid, near_tw, far_tw)
+    valid = near_valid | far_valid
+    idx, any_ = _best(jnp.where(valid, tw, jnp.inf), valid)
+    use_near = jnp.take_along_axis(near_valid, idx[:, None], axis=1)[:, 0]
+    return idx, use_near, any_
+
 
 
 def _sphere_winner_eval(scene, idx, use_near, any_, ray_o, ray_d):
@@ -212,8 +275,21 @@ def _sphere_winner_eval(scene, idx, use_near, any_, ray_o, ray_d):
 # ---------------------------------------------------------------------------
 
 def _plane_select(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
-    return select_tr.plane_select(scene.planes, scene.materials, ray_o,
-                                  ray_d, skip, eps_behind, eps_pos)
+    if SELECT_IMPL == "tr":
+        return select_tr.plane_select(scene.planes, scene.materials, ray_o,
+                                      ray_d, skip, eps_behind, eps_pos)
+    return _plane_select_rt(scene, ray_o, ray_d, skip, eps_behind, eps_pos)
+
+
+def _plane_select_rt(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
+    pl = scene.planes
+    pc = jnp_ref.plane_candidates(pl, ray_o, ray_d, eps_behind)
+    pos_approx = ray_o[:, None, :] + ray_d[:, None, :] * jnp.where(
+        pc["valid"], pc["t"], 0.0)[..., None]
+    valid, _ = _filter(scene.materials, pl.prim_id, pc["inside"],
+                       pc["valid"], ray_d, pos_approx, skip, eps_pos)
+    return _best(pc["t"], valid)
+
 
 
 def _plane_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):
@@ -281,12 +357,23 @@ def _closest_from_tri_select(scene, ray_o, ray_d, skip, tri_select_fn):
     o_sg, d_sg = sg(ray_o), sg(ray_d)
     skip_sg = _sg_tree(skip)
 
-    tri_idx, tri_any = tri_select_fn(scene_sg, o_sg, d_sg, skip_sg,
-                                     eps_behind, eps_pos)
-    sph_idx, use_near, sph_any = _sphere_select(scene_sg, o_sg, d_sg,
-                                                skip_sg, eps_pos)
-    pl_idx, pl_any = _plane_select(scene_sg, o_sg, d_sg, skip_sg,
-                                   eps_behind, eps_pos)
+    n_table_rows = (scene.triangles.v0.shape[0] + scene.spheres.radius.shape[0]
+                    + scene.planes.origin_dist.shape[0])
+    use_pallas = (SELECT_IMPL == "pallas"
+                  and jax.default_backend() == "tpu")
+    if (use_pallas and tri_select_fn is _triangle_select_dense
+            and n_table_rows <= _PALLAS_MAX_PRIMS):
+        from . import pallas_select
+        ((tri_idx, tri_any), (sph_idx, use_near, sph_any),
+         (pl_idx, pl_any)) = pallas_select.select_all(
+            scene_sg, o_sg, d_sg, skip_sg, eps_behind, eps_pos)
+    else:
+        tri_idx, tri_any = tri_select_fn(scene_sg, o_sg, d_sg, skip_sg,
+                                         eps_behind, eps_pos)
+        sph_idx, use_near, sph_any = _sphere_select(scene_sg, o_sg, d_sg,
+                                                    skip_sg, eps_pos)
+        pl_idx, pl_any = _plane_select(scene_sg, o_sg, d_sg, skip_sg,
+                                       eps_behind, eps_pos)
 
     tri_w = _triangle_winner_eval(scene, tri_idx, tri_any, ray_o, ray_d,
                                   eps_behind)
