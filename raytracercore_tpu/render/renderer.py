@@ -71,6 +71,11 @@ class Renderer:
                 from ..intersect.dispatch import make_bvh_closest_fn
                 self.bvh = build_bvh(scene, dtype=dtype)
                 self.closest_fn = make_bvh_closest_fn(self.bvh)
+            elif jax.default_backend() == "tpu":
+                # Forward rendering needs no gradients: take the full hit
+                # record straight from the fused Pallas kernel.
+                from ..intersect.pallas_select import closest_hit_fused
+                self.closest_fn = closest_hit_fused
             else:
                 self.closest_fn = closest_hit
         self._base_key = jax.random.PRNGKey(seed)

@@ -56,3 +56,32 @@ def test_pallas_matches_jnp_selection(bounce_txt):
         np.testing.assert_array_equal(np.asarray(sn)[ms],
                                       np.asarray(rt_sn)[ms])
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(rt_pa))
+
+
+def test_fused_hit_record_matches_dispatch(bounce_txt):
+    """closest_hit_fused (in-kernel winner evaluation) vs the dispatch
+    pipeline, including skip records."""
+    scene = loader.parse(bounce_txt)
+    arrays = freeze_scene(scene)
+    o, d = _rays(256, 3)
+
+    ref = jax.jit(closest_hit)(arrays, o, d, None)
+    got = pallas_select.closest_hit_fused(arrays, o, d, None,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+    m = np.asarray(ref.found)
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.position)[m],
+                               np.asarray(ref.position)[m], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.normal)[m],
+                               np.asarray(ref.normal)[m], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.inside)[m],
+                                  np.asarray(ref.inside)[m])
+
+    # Second bounce with the first hit as skip record.
+    ref2 = jax.jit(closest_hit)(arrays, o, d, ref)
+    got2 = pallas_select.closest_hit_fused(arrays, o, d, ref,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2.prim),
+                                  np.asarray(ref2.prim))
