@@ -31,7 +31,8 @@ def main():
     from raytracercore_tpu.diff import get_material_params
     from raytracercore_tpu.parallel.shard import make_train_step
     from raytracercore_tpu.render.film import Film
-    from raytracercore_tpu.render.renderer import render_pass
+    from raytracercore_tpu.intersect.pallas_select import closest_hit_fused
+    from raytracercore_tpu.render.renderer import render_pass as _rp
     from raytracercore_tpu.scene import loader
     from raytracercore_tpu.scene.types import freeze_scene, init_camera
 
@@ -42,6 +43,14 @@ def main():
     camera = init_camera(scene.cameras[0], SIZE, SIZE)
     film = Film.create(SIZE, SIZE)
     key = jax.random.PRNGKey(0)
+
+    # Forward rendering uses the fused Pallas closest-hit (what Renderer
+    # selects on TPU); the train step keeps the differentiable dispatch.
+    if jax.default_backend() == "tpu":
+        render_pass = lambda a, c, f, k: _rp(a, c, f, k,
+                                             closest_fn=closest_hit_fused)
+    else:
+        render_pass = _rp
 
     def sync(x):
         """True device sync: fetch a scalar to host (block_until_ready is

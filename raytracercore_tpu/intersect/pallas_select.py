@@ -111,12 +111,12 @@ def _make_kernel(T: int, S: int, P: int, eps_behind: float, eps_pos: float,
         g_px = g_py = g_pz = zero
         g_nx = g_ny = g_nz = zero
 
-        def commit(better, tt, prim, inside, px, py, pz, nx, ny, nz):
+        def commit(better, tt, prim, inside_i32, px, py, pz, nx, ny, nz):
             nonlocal g_t, g_prim, g_inside, g_px, g_py, g_pz
             nonlocal g_nx, g_ny, g_nz
             g_t = jnp.where(better, tt, g_t)
             g_prim = jnp.where(better, prim, g_prim)
-            g_inside = jnp.where(better, inside.astype(jnp.int32), g_inside)
+            g_inside = jnp.where(better, inside_i32, g_inside)
             g_px = jnp.where(better, px, g_px)
             g_py = jnp.where(better, py, g_py)
             g_pz = jnp.where(better, pz, g_pz)
@@ -201,7 +201,8 @@ def _make_kernel(T: int, S: int, P: int, eps_behind: float, eps_pos: float,
             better_tab = ok & (tt < best_t)
             best_t = jnp.where(better_tab, tt, best_t)
             best_i = jnp.where(better_tab, t, best_i)
-            commit(ok & (tt < g_t), tt, prim, inside, hx, hy, hz, nx, ny, nz)
+            commit(ok & (tt < g_t), tt, prim, inside.astype(jnp.int32),
+                   hx, hy, hz, nx, ny, nz)
         tri_idx_o[:] = best_i
 
         # --- spheres (Sphere.cs:156-209) ---------------------------------
@@ -233,7 +234,7 @@ def _make_kernel(T: int, S: int, P: int, eps_behind: float, eps_pos: float,
             any_hit = has_root & (radix >= -b) & (prim >= 0)
             v_near = any_hit & (radix < b)
             v_far = any_hit
-            inv_rad = pl.reciprocal(rad, approx=False)
+            inv_rad = 1.0 / rad
 
             def eval_root(t_obj, valid, geo_inside: bool):
                 ts = jnp.where(valid, t_obj, 0.0)
@@ -261,7 +262,8 @@ def _make_kernel(T: int, S: int, P: int, eps_behind: float, eps_pos: float,
                 tw = d_x * (wx - o_x) + d_y * (wy - o_y) + d_z * (wz - o_z)
                 # Geometric-inside hits negate the normal (Sphere.cs:168-169).
                 flip = -1.0 if geo_inside else 1.0
-                return tw, valid, inside, wx, wy, wz, \
+                # inside as i32: Mosaic cannot select between i1 vectors.
+                return tw, valid, inside.astype(jnp.int32), wx, wy, wz, \
                     nwx * flip, nwy * flip, nwz * flip
 
             rn = eval_root((b - radix) / 2.0, v_near, False)
@@ -315,7 +317,8 @@ def _make_kernel(T: int, S: int, P: int, eps_behind: float, eps_pos: float,
             better_tab = ok & (t_abs < best_t)
             best_t = jnp.where(better_tab, t_abs, best_t)
             best_i = jnp.where(better_tab, q, best_i)
-            commit(ok & (t_abs < g_t), t_abs, prim, inside, hx, hy, hz,
+            commit(ok & (t_abs < g_t), t_abs, prim,
+                   inside.astype(jnp.int32), hx, hy, hz,
                    qnx * flip, qny * flip, qnz * flip)
         pl_idx_o[:] = best_i
 

@@ -118,7 +118,8 @@ def _gather_material(mats, prim):
 
 
 def trace(scene: SceneArrays, ray_o, ray_d, key,
-          closest_fn=closest_hit, record: bool = False):
+          closest_fn=closest_hit, record: bool = False,
+          early_exit: bool = False):
     """Trace a batch of camera rays to final colors.
 
     Args:
@@ -130,6 +131,9 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
       record: also return per-bounce :class:`BounceRecords` (the
         GetDebugTrace path, Raytracer.cs:254-260) — same loop body, so the
         debug view can never drift from the render path.
+      early_exit: stop the bounce loop once every ray has terminated
+        (lax.while_loop).  Forward-only — while_loop has no reverse rule;
+        keep False under jax.grad.
 
     Returns:
       (color [R, 3], miss [R] bool) — ``miss`` marks Placeholder samples
@@ -350,14 +354,29 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
 
     records = BounceRecords.create(R, recursion + 1, dtype) if record \
         else None
-    # Rematerialize each bounce in the backward pass: without this, reverse
-    # AD saves every per-bounce intersection grid ([bounces, R, prims]
-    # residuals — hundreds of MB at 700², the HBM killer).  Recomputing a
-    # bounce is cheap relative to HBM traffic (SURVEY §7 design stance:
-    # jax.checkpoint trades FLOPs for memory).
-    body = jax.checkpoint(body, prevent_cse=False)
-    state, records = jax.lax.fori_loop(0, recursion + 1, body,
-                                       (state, records))
+    if early_exit:
+        # Most paths terminate well before the recursion cap (emission pick,
+        # pure-black, specular fail); stop as soon as the whole wavefront is
+        # dead instead of tracing empty bounces.
+        def w_cond(carry):
+            i, (st, _) = carry
+            return (i < recursion + 1) & jnp.any(st.alive)
+
+        def w_body(carry):
+            i, sr = carry
+            return i + 1, body(i, sr)
+
+        _, (state, records) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), (state, records)))
+    else:
+        # Rematerialize each bounce in the backward pass: without this,
+        # reverse AD saves every per-bounce intersection grid
+        # ([bounces, R, prims] residuals — hundreds of MB at 700², the HBM
+        # killer).  Recomputing a bounce is cheap relative to HBM traffic
+        # (SURVEY §7 design stance: jax.checkpoint trades FLOPs for memory).
+        body_ck = jax.checkpoint(body, prevent_cse=False)
+        state, records = jax.lax.fori_loop(0, recursion + 1, body_ck,
+                                           (state, records))
     if record:
         return state.result, state.miss, records
     return state.result, state.miss

@@ -38,7 +38,8 @@ def render_pass(scene: SceneArrays, camera, film: Film, key,
     px, py = cam_mod.pixel_grid(w, h)
     k_cam, k_path = jax.random.split(key)
     ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
-    color, miss = trace(scene, ray_o, ray_d, k_path, closest_fn=closest_fn)
+    color, miss = trace(scene, ray_o, ray_d, k_path, closest_fn=closest_fn,
+                        early_exit=True)
     return film.add_full_frame(color, miss)
 
 

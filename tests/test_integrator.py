@@ -174,3 +174,27 @@ def test_checkpoint_roundtrip(tmp_path, bounce_txt):
     # Continue rendering after resume.
     r2.step(1)
     assert r2.pass_index == 3
+
+
+def test_early_exit_matches_fori(bounce_txt):
+    """The while_loop early-exit path must produce bitwise-identical colors
+    to the fixed-trip fori path."""
+    from raytracercore_tpu.scene.types import freeze_scene, init_camera
+    from raytracercore_tpu.render import camera as cm
+
+    scene = loader.parse(bounce_txt)
+    scene.width = scene.height = 16
+    scene.recursion = 6
+    arrays = freeze_scene(scene)
+    cam = init_camera(scene.cameras[0], 16, 16)
+    px, py = cm.pixel_grid(16, 16)
+    key = jax.random.PRNGKey(21)
+    kc, kp = jax.random.split(key)
+    o, d = cm.camera_rays(cam, px, py, kc)
+
+    c1, m1 = jax.jit(lambda a, o, d, k: trace(a, o, d, k))(arrays, o, d, kp)
+    c2, m2 = jax.jit(
+        lambda a, o, d, k: trace(a, o, d, k, early_exit=True))(
+            arrays, o, d, kp)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
