@@ -13,6 +13,7 @@ the C# source (file:line relative to /root/reference/RaytracerCore).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -141,6 +142,102 @@ def reflect(normal, incoming, cos):
 # 4x4 homogeneous transforms (host-side construction uses numpy f64; the same
 # functions work on jnp arrays for device-side use).
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Component-tuple math: (x, y, z) tuples of [R] arrays.
+#
+# TPU lane layout makes [..., 3] the wrong shape for hot math (3 of 128
+# lanes); flat [R] component arrays vectorize fully.  Convention: module
+# boundaries exchange [R, 3]; kernels split at entry (``unstack3``) and
+# stack once at exit (``stack3``) — the two conversions are cheap relative
+# to the op-count between them.
+# ---------------------------------------------------------------------------
+
+def unstack3(a):
+    """[..., 3] → (x, y, z) component views."""
+    return a[..., 0], a[..., 1], a[..., 2]
+
+
+def stack3(x, y, z):
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross3(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def add3(a, b):
+    return a[0] + b[0], a[1] + b[1], a[2] + b[2]
+
+
+def sub3(a, b):
+    return a[0] - b[0], a[1] - b[1], a[2] - b[2]
+
+
+def scale3(a, s):
+    return a[0] * s, a[1] * s, a[2] * s
+
+
+def where3(c, a, b):
+    return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]),
+            jnp.where(c, a[2], b[2]))
+
+
+def normalize3(a, eps=0.0):
+    n2 = dot3(a, a)
+    if eps:
+        n2 = jnp.maximum(n2, eps * eps)
+    inv = jax.lax.rsqrt(n2)
+    return scale3(a, inv)
+
+
+def create_horizontal3(v):
+    """Componentized CreateHorizontal (Vec4D.cs:33-43): cross with ẑ,
+    fallback x̂ when degenerate."""
+    cx, cy = v[1], -v[0]  # v × (0,0,1) = (vy, -vx, 0)
+    sq = cx * cx + cy * cy
+    tiny = jnp.asarray(np.finfo(jnp.result_type(sq)).tiny, sq.dtype)
+    good = sq > tiny
+    inv = jax.lax.rsqrt(jnp.where(good, sq, 1.0))
+    return (jnp.where(good, cx * inv, 1.0),
+            jnp.where(good, cy * inv, 0.0),
+            jnp.zeros_like(cx))
+
+
+def rotate_about_axis3(vec, axis, theta):
+    """Componentized Rodrigues rotation."""
+    ct = jnp.cos(theta)
+    st = jnp.sin(theta)
+    kxv = cross3(axis, vec)
+    kd = dot3(axis, vec) * (1.0 - ct)
+    return (vec[0] * ct + kxv[0] * st + axis[0] * kd,
+            vec[1] * ct + kxv[1] * st + axis[1] * kd,
+            vec[2] * ct + kxv[2] * st + axis[2] * kd)
+
+
+def create_horizon3(pole, z, theta):
+    """Componentized CreateHorizon (Vec4D.cs:52-58)."""
+    horiz = create_horizontal3(pole)
+    s = safe_sqrt(1.0 - z * z)
+    base = (pole[0] * z + horiz[0] * s,
+            pole[1] * z + horiz[1] * s,
+            pole[2] * z + horiz[2] * s)
+    return rotate_about_axis3(base, pole, theta)
+
+
+def reflect3(normal, incoming, cos):
+    """Componentized Reflection (Raytracer.cs:58-61)."""
+    k = 2.0 * cos
+    return (incoming[0] + normal[0] * k,
+            incoming[1] + normal[1] * k,
+            incoming[2] + normal[2] * k)
+
 
 def transform_point(m, p):
     """Apply row-major 4x4 ``m`` to point(s) ``p`` with implicit w=1.
