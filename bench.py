@@ -14,7 +14,12 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +27,7 @@ import jax.numpy as jnp
 BASELINE_SAMPLES_PX_SEC = 6.240
 SIZE = 700
 RECURSION = 10
-PASSES = 8
+PASSES = 6
 
 
 def main():
@@ -58,14 +63,17 @@ def main():
         return float(jnp.sum(x))
 
     # --- forward ---------------------------------------------------------
+    log("bench: compiling forward pass...")
     film = render_pass(arrays, camera, film, key)          # compile
     sync(film.samples)
+    log("bench: forward compiled, timing...")
     t0 = time.perf_counter()
     for i in range(PASSES):
         film = render_pass(arrays, camera, film,
                            jax.random.fold_in(key, i + 1))
     sync(film.samples)
     dt_fwd = (time.perf_counter() - t0) / PASSES
+    log(f"bench: forward {1.0 / dt_fwd:.3f} samples/px/sec")
 
     pixels = SIZE * SIZE
     spp_sec = 1.0 / dt_fwd              # one sample/px per pass
@@ -80,16 +88,23 @@ def main():
     opt_state = optimizer.init(params)
     target = jnp.zeros((SIZE, SIZE, 3), arrays.materials.emission.dtype)
     step = make_train_step(None, optimizer)
-    params, opt_state, loss = step(params, arrays, camera, target, opt_state,
-                                   key)                     # compile
-    float(loss)
-    n_bwd = max(PASSES // 2, 2)
-    t0 = time.perf_counter()
-    for i in range(n_bwd):
+    log("bench: compiling fwd+bwd train step...")
+    try:
         params, opt_state, loss = step(params, arrays, camera, target,
-                                       opt_state, jax.random.fold_in(key, i))
-    float(loss)
-    dt_fb = (time.perf_counter() - t0) / n_bwd
+                                       opt_state, key)      # compile
+        float(loss)
+        log("bench: train step compiled, timing...")
+        n_bwd = 2
+        t0 = time.perf_counter()
+        for i in range(n_bwd):
+            params, opt_state, loss = step(params, arrays, camera, target,
+                                           opt_state,
+                                           jax.random.fold_in(key, i))
+        float(loss)
+        dt_fb = (time.perf_counter() - t0) / n_bwd
+    except Exception as e:  # noqa: BLE001 — still report forward numbers
+        log(f"bench: fwd+bwd failed: {e}")
+        dt_fb = float("inf")
     rays_sec_fb = pixels * (RECURSION + 1) / dt_fb
 
     print(json.dumps({
@@ -100,7 +115,8 @@ def main():
         "extra": {
             "paths_per_sec_fwd": round(paths_sec, 1),
             "wavefront_rays_per_sec_fwd": round(rays_sec_fwd, 1),
-            "fwdbwd_steps_per_sec": round(1.0 / dt_fb, 4),
+            "fwdbwd_steps_per_sec": round(1.0 / dt_fb, 4) if dt_fb > 0
+            else 0,
             "wavefront_rays_per_sec_fwdbwd": round(rays_sec_fb, 1),
             "device": str(jax.devices()[0]),
             "baseline_samples_px_sec": BASELINE_SAMPLES_PX_SEC,

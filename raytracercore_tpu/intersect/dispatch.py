@@ -172,70 +172,25 @@ def _triangle_select_rt(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
 
 
 def _triangle_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):
-    """Phase 2 (differentiable): one Möller–Trumbore per ray on the winner,
-    componentwise ([R] arrays — [R,3] would waste 125/128 lanes).
+    """Phase 2 (differentiable): one Möller–Trumbore per ray on the winner.
 
-    Shared by the dense and BVH paths.  Same math as
-    jnp_ref.moller_trumbore + triangle_hit_detail (the readable oracle).
+    Shared by the dense and BVH paths.
     """
     tri = scene.triangles
     safe = jnp.maximum(idx, 0)
-    gc = lambda a, k: jnp.take(a[:, k], safe)
-    o = vm.unstack3(ray_o)
-    d = vm.unstack3(ray_d)
-    v0 = tuple(gc(tri.v0, k) for k in range(3))
-    e1 = tuple(gc(tri.e1, k) for k in range(3))
-    e2 = tuple(gc(tri.e2, k) for k in range(3))
-    fn = tuple(gc(tri.normal, k) for k in range(3))
-    mirror = jnp.take(tri.mirror, safe)
-
-    side = vm.cross3(d, e2)
-    det = vm.dot3(e1, side)
-    off = vm.sub3(o, v0)
-    inv = jnp.where(det != 0, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-    u_n = inv * vm.dot3(off, side)
-    oc = vm.cross3(off, e1)
-    v_n = inv * vm.dot3(d, oc)
-    t_n = inv * vm.dot3(e2, oc)
-
-    on_plane = jnp.abs(vm.dot3(off, fn)) <= eps_behind
-    degen = (det == 0) & on_plane
-    u = jnp.where(degen, vm.dot3(e1, off), u_n)
-    v = jnp.where(degen, vm.dot3(e2, off), v_n)
-    t = jnp.where(degen, 0.0, t_n)
-    inside_geo = degen | (inv < 0)
-
-    uv_lim = jnp.where(mirror, v, u + v)
-    valid = ((u >= 0) & (u <= 1) & (v >= 0) & (uv_lim <= 1)
-             & (degen | (t >= -eps_behind)) & ((det != 0) | degen))
-    u, v, t = _fin(u), _fin(v), _fin(t)
-
+    g3 = lambda a: jnp.take(a, safe, axis=0)
+    mt = jnp_ref.moller_trumbore(
+        ray_o, ray_d, g3(tri.v0), g3(tri.e1), g3(tri.e2), g3(tri.normal),
+        jnp.take(tri.mirror, safe), any_, eps_behind)
     prim_ids = jnp.take(tri.prim_id, safe)
     invert = jnp.take(scene.materials.invert, jnp.maximum(prim_ids, 0))
-    inside = jnp.where(invert, ~inside_geo, inside_geo)
-    any_ = any_ & valid
-
-    # Position (Triangle.cs:192).
-    pos = tuple(v0[k] + e1[k] * u + e2[k] * v for k in range(3))
-    # Normal (Triangle.GetNormal, Triangle.cs:209-224): the reference's
-    # (u, v, u+v) interpolation weights, inside-reflected through the face.
-    smooth = jnp.take(tri.smooth, safe)
-    n0 = tuple(gc(tri.n0, k) for k in range(3))
-    n1 = tuple(gc(tri.n1, k) for k in range(3))
-    n2 = tuple(gc(tri.n2, k) for k in range(3))
-    w2 = u + v
-    ni = tuple(n0[k] * u + n1[k] * v + n2[k] * w2 for k in range(3))
-    ni = vm.normalize3(ni, eps=1e-15)
-    dotf = vm.dot3(ni, fn) / jnp.maximum(vm.dot3(fn, fn), 1e-20)
-    refl = tuple(ni[k] - fn[k] * (2.0 * dotf) for k in range(3))
-    n_smooth = vm.where3(inside_geo, refl, ni)
-    flip = jnp.where(inside_geo, -1.0, 1.0)
-    n_flat = vm.scale3(fn, flip)
-    normal = vm.where3(smooth, n_smooth, n_flat)
-
+    inside = jnp.where(invert, ~mt["inside"], mt["inside"])
+    any_ = any_ & mt["valid"]
+    pos, nrm = jnp_ref.triangle_hit_detail(
+        tri, safe, _fin(mt["u"]), _fin(mt["v"]), mt["inside"])
     return {
-        "t": t, "any": any_, "prim": prim_ids, "inside": inside,
-        "position": vm.stack3(*pos), "normal": vm.stack3(*normal),
+        "t": _fin(mt["t"]), "any": any_, "prim": prim_ids,
+        "inside": inside, "position": pos, "normal": nrm,
     }
 
 
@@ -285,58 +240,33 @@ def _sphere_select_rt(scene, ray_o, ray_d, skip, eps_pos):
 
 
 def _sphere_winner_eval(scene, idx, use_near, any_, ray_o, ray_d):
-    """Phase 2 (differentiable): re-solve the winning sphere per ray,
-    componentwise (Sphere.DoRayTrace + GetHit math, Sphere.cs:156-209)."""
+    """Phase 2 (differentiable): re-solve the winning sphere per ray
+    (Sphere.DoRayTrace math on [R] gathered rows, Sphere.cs:175-209)."""
     sph = scene.spheres
     safe = jnp.maximum(idx, 0)
-    o = vm.unstack3(ray_o)
-    d = vm.unstack3(ray_d)
-    # Gathered matrix coefficients as [R] columns.
-    mw = lambda i, j: jnp.take(sph.world_to_obj[:, i, j], safe)
-    mo = lambda i, j: jnp.take(sph.obj_to_world[:, i, j], safe)
+    take = lambda a: jnp.take(a, safe, axis=0)
+    w2o = take(sph.world_to_obj)
+    o_obj = jnp.einsum("rij,rj->ri", w2o[:, :3, :3], ray_o) + w2o[:, :3, 3]
+    d_obj = jnp.einsum("rij,rj->ri", w2o[:, :3, :3], ray_d)
+    d_obj = d_obj / vm.safe_sqrt(
+        jnp.sum(d_obj * d_obj, axis=-1))[:, None]
 
-    row = lambda m, v, i: (m(i, 0) * v[0] + m(i, 1) * v[1]
-                           + m(i, 2) * v[2])
-    o_obj = tuple(row(mw, o, i) + mw(i, 3) for i in range(3))
-    d_obj = tuple(row(mw, d, i) for i in range(3))
-    d_obj = vm.scale3(d_obj, jax.lax.rsqrt(
-        jnp.maximum(vm.dot3(d_obj, d_obj), 1e-20)))
-
-    center = tuple(jnp.take(sph.center[:, k], safe) for k in range(3))
-    radius = jnp.take(sph.radius, safe)
-    off = vm.sub3(o_obj, center)
-    b = -2.0 * vm.dot3(off, d_obj)
-    c = vm.dot3(off, off) - radius * radius
+    offset = o_obj - take(sph.center)
+    b = -2.0 * jnp.sum(offset * d_obj, axis=-1)
+    c = jnp.sum(offset * offset, axis=-1) - take(sph.radius) ** 2
     disc = b * b - 4.0 * c
     radix = jnp.sqrt(jnp.maximum(jnp.where(disc >= 0, disc, 1.0), 1e-20))
-    t_obj = _fin(jnp.where(use_near, (b - radix) / 2.0,
-                           (b + radix) / 2.0))
+    t_obj = jnp.where(use_near, (b - radix) / 2.0, (b + radix) / 2.0)
     inside_geo = ~use_near
 
-    pos_obj = tuple(o_obj[k] + d_obj[k] * t_obj for k in range(3))
-    n_obj = tuple((pos_obj[k] - center[k]) / radius for k in range(3))
-
-    pos_w = tuple(row(mo, pos_obj, i) + mo(i, 3) for i in range(3))
-    # MatrixToNormal = world_to_obj transposed 3x3 (Sphere.cs:36).
-    n_w = tuple(mw(0, i) * n_obj[0] + mw(1, i) * n_obj[1]
-                + mw(2, i) * n_obj[2] for i in range(3))
-    n_w = vm.normalize3(n_w, eps=1e-15)
-    t_w = vm.dot3(d, vm.sub3(pos_w, o))
-
-    transformed = jnp.take(sph.transformed, safe)
-    pos = vm.where3(transformed, pos_w, pos_obj)
-    normal = vm.where3(transformed, n_w, n_obj)
-    t = jnp.where(transformed, t_w, t_obj)
-    flip = jnp.where(inside_geo, -1.0, 1.0)
-    normal = vm.scale3(normal, flip)
-
-    prim_ids = jnp.take(sph.prim_id, safe)
+    pos, nrm, t = jnp_ref.sphere_hit_detail(sph, safe, ray_o, ray_d, o_obj,
+                                            d_obj, _fin(t_obj), inside_geo)
+    prim_ids = take(sph.prim_id)
     invert = jnp.take(scene.materials.invert, jnp.maximum(prim_ids, 0))
     inside = jnp.where(invert, ~inside_geo, inside_geo)
     return {
         "t": _fin(t), "any": any_ & (disc >= 0), "prim": prim_ids,
-        "inside": inside, "position": vm.stack3(*pos),
-        "normal": vm.stack3(*normal),
+        "inside": inside, "position": pos, "normal": nrm,
     }
 
 

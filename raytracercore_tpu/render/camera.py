@@ -18,30 +18,21 @@ from ..scene.types import CameraRT
 TWO_PI = 6.283185307179586
 
 
-def _get_ray3(cam: CameraRT, x, y):
-    """Camera.GetRay for fractional pixel coordinates [R], componentwise."""
-    look = tuple(cam.look[k] for k in range(3))
-    side = tuple(cam.side[k] for k in range(3))
-    up = tuple(cam.up[k] for k in range(3))
-    pos = tuple(cam.position[k] for k in range(3))
+def _get_ray(cam: CameraRT, x, y):
+    """Camera.GetRay for fractional pixel coordinates [R]."""
     if cam.mode == 0:  # frustum
         off_x = cam.ax * ((x - cam.w2) / cam.w2)
         off_y = cam.ay * ((y - cam.h2) / cam.h2)
-        d = tuple(look[k] + side[k] * off_x + up[k] * off_y
-                  for k in range(3))
-        d = vm.normalize3(d)
-        o = tuple(jnp.broadcast_to(pos[k], x.shape) for k in range(3))
+        d = (cam.look[None, :] + cam.side[None, :] * off_x[:, None]
+             + cam.up[None, :] * off_y[:, None])
+        d = vm.normalize(d)
+        o = jnp.broadcast_to(cam.position[None, :], d.shape)
     else:  # ortho
-        sx = (x - cam.w2) * cam.ax
-        sy = (y - cam.h2) * cam.ay
-        o = tuple(pos[k] + side[k] * sx + up[k] * sy for k in range(3))
-        d = tuple(jnp.broadcast_to(look[k], x.shape) for k in range(3))
+        o = (cam.position[None, :]
+             + cam.side[None, :] * ((x - cam.w2) * cam.ax)[:, None]
+             + cam.up[None, :] * ((y - cam.h2) * cam.ay)[:, None])
+        d = jnp.broadcast_to(cam.look[None, :], o.shape)
     return o, d
-
-
-def _get_ray(cam: CameraRT, x, y):
-    o, d = _get_ray3(cam, x, y)
-    return vm.stack3(*o), vm.stack3(*d)
 
 
 def camera_rays(cam: CameraRT, px, py, key):
@@ -59,26 +50,25 @@ def camera_rays(cam: CameraRT, px, py, key):
     sub_x = px.astype(dtype) + u[:, 0]
     sub_y = py.astype(dtype) + u[:, 1]
 
-    o, d = _get_ray3(cam, sub_x, sub_y)
-    o = tuple(o[k] + d[k] * cam.image_plane for k in range(3))
+    o, d = _get_ray(cam, sub_x, sub_y)
+    o = o + d * cam.image_plane
 
     # Depth of field (Raytracer.cs:269-279): sample the lens disc with
     # sqrt-radius, re-trace through the jittered pixel, aim at the focus
     # point of the undisturbed ray.
-    fl = cam.focal_length - cam.image_plane
-    focus = tuple(o[k] + d[k] * fl for k in range(3))
+    focus = o + d * (cam.focal_length - cam.image_plane)
     dist = jnp.sqrt(u[:, 2]) * cam.dof_amount
     angle = u[:, 3] * TWO_PI
     off_x = jnp.cos(angle) * dist
     off_y = jnp.sin(angle) * dist
-    o2, d2 = _get_ray3(cam, sub_x + off_x, sub_y + off_y)
-    o2 = tuple(o2[k] + d2[k] * cam.image_plane for k in range(3))
-    d2 = vm.normalize3(vm.sub3(focus, o2))
+    o2, d2 = _get_ray(cam, sub_x + off_x, sub_y + off_y)
+    o2 = o2 + d2 * cam.image_plane
+    d2 = vm.normalize(focus - o2)
 
     use_dof = cam.dof_amount != 0
-    o = vm.where3(use_dof, o2, o)
-    d = vm.where3(use_dof, d2, d)
-    return vm.stack3(*o), vm.stack3(*d)
+    o = jnp.where(use_dof, o2, o)
+    d = jnp.where(use_dof, d2, d)
+    return o, d
 
 
 def pixel_grid(width: int, height: int):

@@ -92,16 +92,15 @@ class PathState(struct.PyTreeNode):
     prev: HitRecord       # previous bounce's hit (skip record)
 
 
-def _random_shine(u_z, u_theta, normal3, shininess):
+def _random_shine(u_z, u_theta, normal, shininess):
     """RandomShine (Raytracer.cs:51-56): perturb the shading normal on a cone
-    with ``z = U^(1/shininess)``; shininess=+inf ⇒ z=1 (unperturbed).
-    Component form: normal3 is an (x, y, z) tuple of [R] arrays."""
+    with ``z = U^(1/shininess)``; shininess=+inf ⇒ z=1 (unperturbed)."""
     # u is clipped away from 0: pow's derivative w.r.t. shininess carries
     # ln(u), and ln(0) = -inf would NaN the backward pass.
     z = jnp.where(jnp.isinf(shininess), 1.0,
                   jnp.power(jnp.clip(u_z, 1e-20, 1.0), 1.0 / shininess))
     theta = u_theta * TWO_PI
-    return vm.create_horizon3(normal3, z, theta)
+    return vm.create_horizon(normal, z, theta)
 
 
 def _gather_material(mats, prim):
@@ -159,12 +158,8 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
 
     def body(i, carry):
         state, records = carry
-        # Periodic renormalization (Raytracer.cs:74-75), componentwise.
-        d3r = vm.unstack3(state.ray_d)
-        d3n = vm.normalize3(d3r)
-        renorm = i % 3 == 0
-        d3 = vm.where3(renorm, d3n, d3r)
-        d = vm.stack3(*d3)
+        # Periodic renormalization (Raytracer.cs:74-75).
+        d = jnp.where(i % 3 == 0, vm.normalize(state.ray_d), state.ray_d)
 
         hit = closest_fn(scene, state.ray_o, d, state.prev)
         active = state.alive
@@ -190,20 +185,18 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         alive = alive & ~done
 
         # --- shading (only meaningful where alive) ----------------------
-        # Hot vector math runs on (x, y, z) component tuples of [R] arrays
-        # — the [R, 3] layout would waste 125 of 128 lanes on TPU.
         u = jax.random.uniform(jax.random.fold_in(key, i), (R, 5),
                                dtype=dtype)
 
-        n3 = vm.unstack3(hit.normal)
-        rough_n = _random_shine(u[:, 0], u[:, 1], n3, mat["shininess"])
+        rough_n = _random_shine(u[:, 0], u[:, 1], hit.normal,
+                                mat["shininess"])
 
         diff_lum = luminance(mat["diffuse"])
         spec_lum = luminance(mat["specular"])
         refr_lum = luminance(mat["refraction"])
         emis_lum = luminance(emission)
 
-        cos = -vm.dot3(rough_n, d3)
+        cos = -vm.dot(rough_n, d)
 
         # Fresnel split (Raytracer.cs:120-157).
         can_refract = ((refr_lum > 0) | (spec_lum > 0)) & \
@@ -255,30 +248,29 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         pick_emit = ~pick_refr & ~pick_spec & ~pick_diff
 
         # Transmission (Raytracer.cs:181-193).
-        refr_dir = tuple(
-            rough_n[k] * (-cos_out) + (d3[k] + rough_n[k] * cos) * ior_ratio
-            for k in range(3))
+        refr_dir = (rough_n * (-cos_out)[:, None]
+                    + (d + rough_n * cos[:, None]) * ior_ratio[:, None])
         refr_tint = jnp.where(hit.inside[:, None],
                               jnp.ones_like(mat["refraction"]),
                               mat["refraction"])
 
         # Specular with rough-normal fail (Raytracer.cs:194-209).
-        spec_dir = vm.reflect3(rough_n, d3, cos)
-        spec_ok = vm.dot3(spec_dir, n3) > 0
+        spec_dir = vm.reflect(rough_n, d, cos)
+        spec_ok = vm.dot(spec_dir, hit.normal) > 0
 
         # Diffuse (Raytracer.cs:210-219): z = 2·acos(U)/π around the TRUE
         # normal (not the rough normal).
         z = 2.0 * jnp.arccos(jnp.clip(u[:, 3], 0.0, 1.0)) / jnp.pi
-        diff_dir = vm.create_horizon3(n3, z, u[:, 4] * TWO_PI)
+        diff_dir = vm.create_horizon(hit.normal, z, u[:, 4] * TWO_PI)
 
         # Terminal branches: emission pick, or failed specular.
         terminal = alive & (pick_emit | (pick_spec & ~spec_ok))
         result = jnp.where(terminal[:, None], state.tint * emission, result)
         alive = alive & ~terminal
 
-        out_dir3 = vm.where3(pick_refr, refr_dir,
-                             vm.where3(pick_spec, spec_dir, diff_dir))
-        out_dir = vm.stack3(*out_dir3)
+        out_dir = jnp.where(pick_refr[:, None], refr_dir,
+                            jnp.where(pick_spec[:, None], spec_dir,
+                                      diff_dir))
         new_tint = jnp.where(pick_refr[:, None], refr_tint,
                              jnp.where(pick_spec[:, None], mat["specular"],
                                        mat["diffuse"]))
