@@ -37,7 +37,7 @@ def main():
     from raytracercore_tpu.parallel.shard import make_train_step
     from raytracercore_tpu.render.film import Film
     from raytracercore_tpu.intersect.pallas_select import closest_hit_fused
-    from raytracercore_tpu.render.renderer import render_pass as _rp
+    from raytracercore_tpu.render.renderer import render_passes
     from raytracercore_tpu.scene import loader
     from raytracercore_tpu.scene.types import freeze_scene, init_camera
 
@@ -51,11 +51,12 @@ def main():
 
     # Forward rendering uses the fused Pallas closest-hit (what Renderer
     # selects on TPU); the train step keeps the differentiable dispatch.
-    if jax.default_backend() == "tpu":
-        render_pass = lambda a, c, f, k: _rp(a, c, f, k,
-                                             closest_fn=closest_hit_fused)
-    else:
-        render_pass = _rp
+    closest = closest_hit_fused if jax.default_backend() == "tpu" else None
+
+    def render_n(f, start, n):
+        kw = {} if closest is None else {"closest_fn": closest}
+        return render_passes(arrays, camera, f, key, jnp.int32(start),
+                             n=n, **kw)
 
     def sync(x):
         """True device sync: fetch a scalar to host (block_until_ready is
@@ -64,15 +65,14 @@ def main():
 
     # --- forward ---------------------------------------------------------
     log("bench: compiling forward pass...")
-    film = render_pass(arrays, camera, film, key)          # compile
+    film = render_n(film, 0, PASSES)                       # compile
     sync(film.samples)
     log("bench: forward compiled, timing...")
     t0 = time.perf_counter()
-    for i in range(PASSES):
-        film = render_pass(arrays, camera, film,
-                           jax.random.fold_in(key, i + 1))
+    film = render_n(film, PASSES, PASSES)
+    film = render_n(film, 2 * PASSES, PASSES)
     sync(film.samples)
-    dt_fwd = (time.perf_counter() - t0) / PASSES
+    dt_fwd = (time.perf_counter() - t0) / (2 * PASSES)
     log(f"bench: forward {1.0 / dt_fwd:.3f} samples/px/sec")
 
     pixels = SIZE * SIZE

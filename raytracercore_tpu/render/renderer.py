@@ -43,6 +43,32 @@ def render_pass(scene: SceneArrays, camera, film: Film, key,
     return film.add_full_frame(color, miss)
 
 
+@functools.partial(jax.jit, static_argnames=("closest_fn", "n"))
+def render_passes(scene: SceneArrays, camera, film: Film, base_key, start,
+                  n: int = 1, closest_fn=closest_hit) -> Film:
+    """``n`` progressive passes fused into ONE compiled call.
+
+    Per-dispatch latency on the remote TPU tunnel is comparable to a whole
+    pass at 700², so chaining single-pass calls halves throughput; a
+    ``fori_loop`` over passes pays dispatch once.  Pass ``i`` uses
+    ``fold_in(base_key, start + i)`` — the same key schedule as issuing
+    single passes with ``fold_in(base_key, pass_index)``, so results are
+    invariant to how a run is chunked into calls.
+    """
+    h, w = film.shape
+    px, py = cam_mod.pixel_grid(w, h)
+
+    def body(i, f):
+        key = jax.random.fold_in(base_key, start + i)
+        k_cam, k_path = jax.random.split(key)
+        ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
+        color, miss = trace(scene, ray_o, ray_d, k_path,
+                            closest_fn=closest_fn, early_exit=True)
+        return f.add_full_frame(color, miss)
+
+    return jax.lax.fori_loop(0, n, body, film)
+
+
 class Renderer:
     """Progressive scene renderer with pause/resume/checkpoint.
 
@@ -105,13 +131,12 @@ class Renderer:
     # -- rendering ---------------------------------------------------------
 
     def step(self, n: int = 1) -> None:
-        """Run n progressive passes (+n samples/pixel)."""
+        """Run n progressive passes (+n samples/pixel) in one device call."""
         t0 = time.perf_counter()
-        for _ in range(n):
-            key = jax.random.fold_in(self._base_key, self.pass_index)
-            self.film = render_pass(self.arrays, self.camera, self.film, key,
-                                    closest_fn=self.closest_fn)
-            self.pass_index += 1
+        self.film = render_passes(self.arrays, self.camera, self.film,
+                                  self._base_key, jnp.int32(self.pass_index),
+                                  n=n, closest_fn=self.closest_fn)
+        self.pass_index += n
         # Host fetch of a scalar = true device fence (block_until_ready is
         # not reliable on remote platforms).
         float(self.film.samples[0, 0])

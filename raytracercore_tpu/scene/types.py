@@ -296,9 +296,17 @@ def _pad_to(n: int, pad: int) -> int:
     return ((n + pad - 1) // pad) * pad
 
 
-def freeze_scene(scene: HostScene, dtype=jnp.float32, pad: int = 8
+def freeze_scene(scene: HostScene, dtype=jnp.float32, pad: int = 1
                  ) -> SceneArrays:
-    """Convert a HostScene into padded SoA device arrays."""
+    """Convert a HostScene into padded SoA device arrays.
+
+    ``pad`` is the table-size granularity.  The default of 1 keeps tables
+    exact-sized (the fused Pallas kernel unrolls over table rows, so every
+    padding row is wasted VPU work on every ray every bounce); raise it to
+    bucket scenes into fewer compiled shapes when cycling many scenes through
+    one process.  Empty tables still get one masked row so shapes stay
+    non-degenerate under jit.
+    """
     f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
 
     prims = scene.primitives
