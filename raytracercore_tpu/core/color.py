@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 # Rec.601 luma weights, DoubleColor.GetLuminance (DoubleColor.cs:76-81).
 _LUMA = (0.299, 0.587, 0.114)
+LUM_R, LUM_G, LUM_B = _LUMA
 
 
 def luminance(rgb):

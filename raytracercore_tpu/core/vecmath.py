@@ -231,6 +231,38 @@ def create_horizon3(pole, z, theta):
     return rotate_about_axis3(base, pole, theta)
 
 
+def rotate_about_axis3_cs(vec, axis, ct, st):
+    """Componentized Rodrigues rotation with precomputed cos/sin(theta).
+
+    The sampling path precomputes the azimuth trig outside the hot loop /
+    kernel (transcendentals are pure functions of the uniforms), so the
+    rotation itself is FMA-only.
+    """
+    kxv = cross3(axis, vec)
+    kd = dot3(axis, vec) * (1.0 - ct)
+    return (vec[0] * ct + kxv[0] * st + axis[0] * kd,
+            vec[1] * ct + kxv[1] * st + axis[1] * kd,
+            vec[2] * ct + kxv[2] * st + axis[2] * kd)
+
+
+def create_horizon3_cs(pole, z, ct, st):
+    """Componentized CreateHorizon (Vec4D.cs:52-58) with precomputed
+    cos/sin of the azimuth angle."""
+    horiz = create_horizontal3(pole)
+    s = safe_sqrt(1.0 - z * z)
+    base = (pole[0] * z + horiz[0] * s,
+            pole[1] * z + horiz[1] * s,
+            pole[2] * z + horiz[2] * s)
+    return rotate_about_axis3_cs(base, pole, ct, st)
+
+
+def create_horizon_cs(pole, z, ct, st):
+    """[..., 3]-shaped CreateHorizon with precomputed azimuth cos/sin."""
+    x, y, zc = unstack3(pole)
+    out = create_horizon3_cs((x, y, zc), z, ct, st)
+    return stack3(*out)
+
+
 def reflect3(normal, incoming, cos):
     """Componentized Reflection (Raytracer.cs:58-61)."""
     k = 2.0 * cos

@@ -92,15 +92,49 @@ class PathState(struct.PyTreeNode):
     prev: HitRecord       # previous bounce's hit (skip record)
 
 
-def _random_shine(u_z, u_theta, normal, shininess):
+def prepare_uniforms(key, n, bounces, dtype=jnp.float32):
+    """All per-bounce randomness, preprocessed: [bounces, 7, n].
+
+    Bounce ``i`` draws ``uniform(fold_in(key, i), (n, 5))`` — the integrator's
+    historical consumption order (shine z, shine θ, branch u, diffuse z,
+    diffuse θ; Raytracer.cs:51-56, 177, 215-216) — then applies every
+    transform that is a pure function of the uniform:
+
+      ch0 = ln(clip(u0))          — RandomShine exponent input
+      ch1, ch2 = cos/sin(2π·u1)   — shine azimuth
+      ch3 = u2                    — branch-selection variate
+      ch4 = 2·acos(u3)/π          — diffuse cone height (Raytracer.cs:215)
+      ch5, ch6 = cos/sin(2π·u4)   — diffuse azimuth
+
+    Hoisting the transcendentals here keeps them out of the bounce loop (and
+    out of the fused Pallas megakernel, which only needs FMA-class ops plus
+    one exp for the shininess power).
+    """
+    def one(i):
+        u = jax.random.uniform(jax.random.fold_in(key, i), (n, 5),
+                               dtype=dtype)
+        t1 = u[:, 1] * TWO_PI
+        t2 = u[:, 4] * TWO_PI
+        return jnp.stack([
+            jnp.log(jnp.clip(u[:, 0], 1e-20, 1.0)),
+            jnp.cos(t1), jnp.sin(t1),
+            u[:, 2],
+            2.0 * jnp.arccos(jnp.clip(u[:, 3], 0.0, 1.0)) / jnp.pi,
+            jnp.cos(t2), jnp.sin(t2),
+        ])
+
+    # Static Python loop, not vmap: batching threefry over a keys axis
+    # lowers poorly on TPU (~7x slower than issuing per-bounce draws).
+    return jnp.stack([one(i) for i in range(bounces)])
+
+
+def _random_shine(ln_u, cos_t, sin_t, normal, shininess):
     """RandomShine (Raytracer.cs:51-56): perturb the shading normal on a cone
-    with ``z = U^(1/shininess)``; shininess=+inf ⇒ z=1 (unperturbed)."""
-    # u is clipped away from 0: pow's derivative w.r.t. shininess carries
-    # ln(u), and ln(0) = -inf would NaN the backward pass.
-    z = jnp.where(jnp.isinf(shininess), 1.0,
-                  jnp.power(jnp.clip(u_z, 1e-20, 1.0), 1.0 / shininess))
-    theta = u_theta * TWO_PI
-    return vm.create_horizon(normal, z, theta)
+    with ``z = U^(1/shininess)`` = exp(ln U / shininess); shininess=+inf ⇒
+    z=1 (unperturbed).  ``ln_u`` is pre-clipped away from ln(0) so the
+    backward pass through the exp stays finite."""
+    z = jnp.where(jnp.isinf(shininess), 1.0, jnp.exp(ln_u / shininess))
+    return vm.create_horizon_cs(normal, z, cos_t, sin_t)
 
 
 def _gather_material(mats, prim):
@@ -155,6 +189,10 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
     )
 
     recursion = scene.recursion
+    # All randomness for the whole trace, generated up front (bounce i reads
+    # uniforms[i]); the key schedule (fold_in(key, i) per bounce) matches the
+    # docstring contract above.
+    uniforms = prepare_uniforms(key, R, recursion + 1, dtype)
 
     def body(i, carry):
         state, records = carry
@@ -185,10 +223,9 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         alive = alive & ~done
 
         # --- shading (only meaningful where alive) ----------------------
-        u = jax.random.uniform(jax.random.fold_in(key, i), (R, 5),
-                               dtype=dtype)
+        u = uniforms[i]  # [7, R] preprocessed channels
 
-        rough_n = _random_shine(u[:, 0], u[:, 1], hit.normal,
+        rough_n = _random_shine(u[0], u[1], u[2], hit.normal,
                                 mat["shininess"])
 
         diff_lum = luminance(mat["diffuse"])
@@ -238,7 +275,7 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         alive = alive & ~black
 
         # --- stochastic branch selection (Raytracer.cs:177-229) ---------
-        ray_rand = u[:, 2] * total_lum
+        ray_rand = u[3] * total_lum
         pick_refr = (refr_lum != 0) & (ray_rand - refr_lum <= 0)
         r2 = ray_rand - refr_lum
         pick_spec = ~pick_refr & (spec_lum != 0) & (r2 - spec_lum <= 0)
@@ -259,9 +296,8 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         spec_ok = vm.dot(spec_dir, hit.normal) > 0
 
         # Diffuse (Raytracer.cs:210-219): z = 2·acos(U)/π around the TRUE
-        # normal (not the rough normal).
-        z = 2.0 * jnp.arccos(jnp.clip(u[:, 3], 0.0, 1.0)) / jnp.pi
-        diff_dir = vm.create_horizon(hit.normal, z, u[:, 4] * TWO_PI)
+        # normal (not the rough normal); z precomputed as channel 4.
+        diff_dir = vm.create_horizon_cs(hit.normal, u[4], u[5], u[6])
 
         # Terminal branches: emission pick, or failed specular.
         terminal = alive & (pick_emit | (pick_spec & ~spec_ok))
