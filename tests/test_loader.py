@@ -154,7 +154,8 @@ def test_loader_error_context():
 def test_freeze_shapes(bounce_txt):
     scene = loader.parse(bounce_txt)
     arrays = freeze_scene(scene)
-    assert arrays.triangles.v0.shape[0] % 8 == 0
+    # Tables are exact-sized by default (pad=1 in freeze_scene).
+    assert arrays.triangles.v0.shape[0] == 19
     assert int((arrays.triangles.prim_id >= 0).sum()) == 19
     assert int((arrays.spheres.prim_id >= 0).sum()) == 3
     assert int((arrays.planes.prim_id >= 0).sum()) == 0
