@@ -1,0 +1,31 @@
+"""Central runtime configuration.
+
+The reference's "config system" is compile-time defines scattered across
+files (``#define BVH`` Scene.cs:1, ``HIT_STRUCT`` Hit.cs:1, SIMD feature
+booleans Vec4D.cs:20-26 — SURVEY §5.6/§2.8).  Here every tunable lives in one
+module so the thresholds that used to disagree (dense-kernel prim cap vs the
+BVH auto switch) are defined once, next to the measurements that justify
+them.
+"""
+
+from __future__ import annotations
+
+# Dense selection implementation for the [rays × prims] closest-hit scan:
+#   "pallas" — fused Pallas TPU kernel (native tier: full lane occupancy,
+#              zero [rays × prims] HBM traffic); interpreted on CPU.
+#   "rt"     — [rays, prims] jnp grids (portable XLA fallback, and the
+#              oracle the Pallas kernels are equivalence-tested against).
+SELECT_IMPL = "pallas"
+
+# The fused Pallas kernels keep every primitive table row in VMEM and unroll
+# the table loop, so they are capped.  Past the cap the dense path falls back
+# to "rt" grids — but at that size brute force is the wrong algorithm anyway
+# and the Renderer switches to the BVH (below).
+PALLAS_MAX_PRIMS = 768
+
+# Renderer(accelerator="auto") switches triangles to the BVH above this
+# count.  Set to the Pallas cap: below it the fused megakernel (whole bounce
+# loop in VMEM) wins; above it the dense path would fall off the Pallas tier
+# entirely, and measured BVH traversal already beats the rt-grid scan well
+# below that point.  Measured on TPU v5e (docs/bvh_threshold.md).
+BVH_AUTO_THRESHOLD = PALLAS_MAX_PRIMS

@@ -34,8 +34,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core import vecmath as vm
+from ..config import PALLAS_MAX_PRIMS, SELECT_IMPL
 from ..scene.types import SceneArrays
-from . import jnp_ref, select_tr
+from . import jnp_ref
 
 
 class HitRecord(struct.PyTreeNode):
@@ -134,27 +135,12 @@ def _sg_tree(x):
 # Triangles
 # ---------------------------------------------------------------------------
 
-# Selection implementation:
-#   "pallas" — fused Pallas TPU kernel (native tier: full lane occupancy,
-#              zero [rays × prims] HBM traffic); interpreted on CPU.
-#   "rt"     — [rays, prims] jnp grids (portable XLA fallback).
-#   "tr"     — transposed [prims, rays] componentwise jnp kernels (fast
-#              execution but pathological 450s+ XLA compiles on the axon
-#              remote-compile service — kept for when the toolchain
-#              improves).
-SELECT_IMPL = "pallas"
-
-# The Pallas kernel unrolls the table loops; route big scenes elsewhere
-# (brute force at that size is wrong anyway — use the BVH).
-_PALLAS_MAX_PRIMS = 768
+# Selection implementation + Pallas table cap live in ..config (shared with
+# render/fused.py and the Renderer's BVH auto-switch).
 
 
 def _triangle_select_dense(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
     """Phase 1 (stop-grad): dense scan → winner index per ray."""
-    if SELECT_IMPL == "tr":
-        return select_tr.triangle_select(scene.triangles, scene.materials,
-                                         ray_o, ray_d, skip, eps_behind,
-                                         eps_pos)
     return _triangle_select_rt(scene, ray_o, ray_d, skip, eps_behind,
                                eps_pos)
 
@@ -201,9 +187,6 @@ def _triangle_winner_eval(scene, idx, any_, ray_o, ray_d, eps_behind):
 def _sphere_select(scene, ray_o, ray_d, skip, eps_pos):
     """Phase 1 (stop-grad): sphere scan (near+far roots) →
     (idx [R], use_near [R], any [R])."""
-    if SELECT_IMPL == "tr":
-        return select_tr.sphere_select(scene.spheres, scene.materials,
-                                       ray_o, ray_d, skip, eps_pos)
     return _sphere_select_rt(scene, ray_o, ray_d, skip, eps_pos)
 
 
@@ -275,9 +258,6 @@ def _sphere_winner_eval(scene, idx, use_near, any_, ray_o, ray_d):
 # ---------------------------------------------------------------------------
 
 def _plane_select(scene, ray_o, ray_d, skip, eps_behind, eps_pos):
-    if SELECT_IMPL == "tr":
-        return select_tr.plane_select(scene.planes, scene.materials, ray_o,
-                                      ray_d, skip, eps_behind, eps_pos)
     return _plane_select_rt(scene, ray_o, ray_d, skip, eps_behind, eps_pos)
 
 
@@ -362,7 +342,7 @@ def _closest_from_tri_select(scene, ray_o, ray_d, skip, tri_select_fn):
     use_pallas = (SELECT_IMPL == "pallas"
                   and jax.default_backend() == "tpu")
     if (use_pallas and tri_select_fn is _triangle_select_dense
-            and n_table_rows <= _PALLAS_MAX_PRIMS):
+            and n_table_rows <= PALLAS_MAX_PRIMS):
         from . import pallas_select
         ((tri_idx, tri_any), (sph_idx, use_near, sph_any),
          (pl_idx, pl_any)) = pallas_select.select_all(

@@ -71,6 +71,24 @@ def camera_rays(cam: CameraRT, px, py, key):
     return o, d
 
 
+def center_rays(cam: CameraRT, px, py):
+    """Deterministic rays through pixel centers — no jitter, no DoF.
+
+    The debug raycaster's ray model (DebugRaycaster.cs casts one plain ray
+    per pixel) and the public entry for tools that need reproducible rays.
+
+    Args:
+      cam: render-ready camera.
+      px, py: [R] integer pixel coordinates.
+
+    Returns: (ray_o [R, 3], ray_d [R, 3]) with the image-plane offset
+    applied (Ray.Offset, Ray.cs:59).
+    """
+    dtype = cam.position.dtype
+    o, d = _get_ray(cam, px.astype(dtype) + 0.5, py.astype(dtype) + 0.5)
+    return o + d * cam.image_plane, d
+
+
 def pixel_grid(width: int, height: int):
     """Linear pixel index grids [H*W] in row-major (y, x) order."""
     ys, xs = jnp.meshgrid(jnp.arange(height), jnp.arange(width),

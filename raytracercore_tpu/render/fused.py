@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import PALLAS_MAX_PRIMS as MAX_PRIMS
 from ..core import vecmath as vm
 from ..core.color import LUM_R, LUM_G, LUM_B
 from ..intersect import kernel_body as kb
@@ -297,8 +298,7 @@ def _run(ox, oy, oz, dx, dy, dz, u, tf, ti, sf, si, pf, pi, mf, scf,
 
 
 # The kernel unrolls the table and material loops; route bigger scenes to
-# the dispatch/BVH paths.
-MAX_PRIMS = 768
+# the dispatch/BVH paths (MAX_PRIMS is config.PALLAS_MAX_PRIMS).
 
 
 def fits(scene: SceneArrays) -> bool:

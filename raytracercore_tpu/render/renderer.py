@@ -98,21 +98,28 @@ class Renderer:
 
     def __init__(self, scene: HostScene, camera_index: int = 0,
                  dtype=jnp.float32, seed: int = 0,
-                 accelerator: str = "auto", closest_fn=None):
+                 accelerator: str = "auto", closest_fn=None,
+                 compensated: bool = False):
         """``accelerator``: "brute" (dense scan), "bvh", or "auto" — BVH
         once the triangle table outgrows the dense scan's sweet spot
-        (mirrors Scene.Prepare building the BVH lazily, Scene.cs:39-49)."""
+        (mirrors Scene.Prepare building the BVH lazily, Scene.cs:39-49).
+
+        ``compensated``: Neumaier-compensated film accumulation for
+        reference-scale spp runs (thousands of samples/px) where plain f32
+        sums lose low-order sample contributions."""
         self.host_scene = scene
         self.dtype = dtype
+        self.compensated = compensated
         self.arrays = freeze_scene(scene, dtype=dtype)
         self.camera_index = camera_index
         self.trace_fn = None
         if closest_fn is not None:
             self.closest_fn = closest_fn
         else:
+            from ..config import BVH_AUTO_THRESHOLD
             n_tris = len(scene.triangles)
             use_bvh = accelerator == "bvh" or (
-                accelerator == "auto" and n_tris > 256)
+                accelerator == "auto" and n_tris > BVH_AUTO_THRESHOLD)
             if use_bvh:
                 from ..bvh import build_bvh
                 from ..intersect.dispatch import make_bvh_closest_fn
@@ -139,7 +146,8 @@ class Renderer:
         s = self.host_scene
         self.camera = init_camera(s.cameras[self.camera_index], s.width,
                                   s.height, dtype=self.dtype)
-        self.film = Film.create(s.height, s.width, self.dtype)
+        self.film = Film.create(s.height, s.width, self.dtype,
+                                compensated=self.compensated)
         self.pass_index = 0
         self._elapsed = 0.0
 
@@ -206,12 +214,15 @@ class Renderer:
     # -- checkpoint / resume ----------------------------------------------
 
     def save_checkpoint(self, path: str) -> None:
+        extra = {}
+        if self.film.color_c is not None:
+            extra["color_c"] = np.asarray(self.film.color_c)
         np.savez(path,
                  color_sum=np.asarray(self.film.color_sum),
                  samples=np.asarray(self.film.samples),
                  misses=np.asarray(self.film.misses),
                  pass_index=self.pass_index,
-                 camera_index=self.camera_index)
+                 camera_index=self.camera_index, **extra)
 
     def load_checkpoint(self, path: str) -> None:
         data = np.load(path)
@@ -219,7 +230,9 @@ class Renderer:
         s = self.host_scene
         self.camera = init_camera(s.cameras[self.camera_index], s.width,
                                   s.height, dtype=self.dtype)
+        cc = jnp.asarray(data["color_c"]) if "color_c" in data else None
         self.film = Film(color_sum=jnp.asarray(data["color_sum"]),
                          samples=jnp.asarray(data["samples"]),
-                         misses=jnp.asarray(data["misses"]))
+                         misses=jnp.asarray(data["misses"]), color_c=cc)
+        self.compensated = cc is not None
         self.pass_index = int(data["pass_index"])

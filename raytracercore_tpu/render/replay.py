@@ -325,10 +325,10 @@ def _default_record_fn(scene: SceneArrays, closest_fn):
     so the non-differentiable kernel is fine), else the given closest_fn."""
     if closest_fn is not closest_hit:
         return closest_fn  # caller chose (e.g. a BVH) — respect it
-    from ..intersect.dispatch import _PALLAS_MAX_PRIMS
+    from ..config import PALLAS_MAX_PRIMS
     n_rows = (scene.triangles.v0.shape[0] + scene.spheres.radius.shape[0]
               + scene.planes.origin_dist.shape[0])
-    if jax.default_backend() == "tpu" and n_rows <= _PALLAS_MAX_PRIMS:
+    if jax.default_backend() == "tpu" and n_rows <= PALLAS_MAX_PRIMS:
         from ..intersect.pallas_select import closest_hit_fused
         return closest_hit_fused
     return closest_fn

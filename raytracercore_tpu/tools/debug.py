@@ -37,12 +37,8 @@ _ID_COLORS = np.array([
 def _center_rays(scene: HostScene, camera_index: int):
     cam = init_camera(scene.cameras[camera_index], scene.width, scene.height)
     px, py = cam_mod.pixel_grid(scene.width, scene.height)
-    dtype = cam.position.dtype
     # Pixel centers, no jitter/DoF (DebugRaycaster casts plain rays).
-    o, d = cam_mod._get_ray(cam, px.astype(dtype) + 0.5,
-                            py.astype(dtype) + 0.5)
-    o = o + d * cam.image_plane
-    return o, d
+    return cam_mod.center_rays(cam, px, py)
 
 
 def primitive_id_map(scene: HostScene, camera_index: int = 0) -> np.ndarray:

@@ -154,9 +154,11 @@ def test_loader_error_context():
 def test_freeze_shapes(bounce_txt):
     scene = loader.parse(bounce_txt)
     arrays = freeze_scene(scene)
-    # Tables are exact-sized by default (pad=1 in freeze_scene).
-    assert arrays.triangles.v0.shape[0] == 19
-    assert int((arrays.triangles.prim_id >= 0).sum()) == 19
+    # Tables are exact-sized by default (pad=1 in freeze_scene): every row
+    # is a real primitive, no padding rows.
+    n_tris = int((arrays.triangles.prim_id >= 0).sum())
+    assert arrays.triangles.v0.shape[0] == n_tris
+    assert n_tris == 19
     assert int((arrays.spheres.prim_id >= 0).sum()) == 3
     assert int((arrays.planes.prim_id >= 0).sum()) == 0
     assert arrays.materials.emission.shape == (22, 3)
