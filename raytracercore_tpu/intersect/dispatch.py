@@ -374,16 +374,38 @@ def closest_hit(scene: SceneArrays, ray_o, ray_d, skip: HitRecord | None
                                     _triangle_select_dense)
 
 
-def make_bvh_closest_fn(bvh):
+def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
+                        traversal: str = "auto"):
     """Closest-hit with triangle selection routed through the skip-link BVH.
 
-    The traversal (a ``lax.while_loop``) is not reverse-differentiable — it
-    runs in the stop-grad selection phase and returns only the winning
-    triangle index; gradients see exactly one triangle per ray.
+    Traversal runs in the stop-grad selection phase and returns only the
+    winning triangle index; gradients see exactly one triangle per ray.
+
+    ``traversal``:
+      "auto"             — Pallas block-beam kernel on TPU (needs ``scene``
+                           for leaf packing), XLA while_loop elsewhere;
+      "xla"              — lockstep while_loop (portable; ~25,000x slower
+                           on TPU at scale — bvh/pallas_traverse.py);
+      "pallas"           — force the kernel (compiled on TPU, interpreted
+                           on CPU — tests only; interpret is slow).
     """
     from ..bvh.traverse import traverse_closest
 
+    pallas_bvh = None
+    if traversal != "xla" and scene is not None:
+        from ..bvh.pallas_traverse import PallasBVH
+        try:
+            pallas_bvh = PallasBVH(bvh, scene.triangles, scene.materials,
+                                   scene.n_prims)
+        except ValueError:
+            if traversal == "pallas":
+                raise
+
     def tri_select_bvh(scene_sg, o_sg, d_sg, skip_sg, eps_behind, eps_pos):
+        on_tpu = jax.default_backend() == "tpu"
+        if pallas_bvh is not None and (on_tpu or traversal == "pallas"):
+            return pallas_bvh.select(o_sg, d_sg, skip_sg, eps_behind,
+                                     eps_pos, interpret=not on_tpu)
         best_idx, _ = traverse_closest(bvh, scene_sg.triangles,
                                        scene_sg.materials, o_sg, d_sg,
                                        skip_sg, eps_behind, eps_pos)

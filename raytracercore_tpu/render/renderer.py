@@ -124,7 +124,7 @@ class Renderer:
                 from ..bvh import build_bvh
                 from ..intersect.dispatch import make_bvh_closest_fn
                 self.bvh = build_bvh(scene, dtype=dtype)
-                self.closest_fn = make_bvh_closest_fn(self.bvh)
+                self.closest_fn = make_bvh_closest_fn(self.bvh, self.arrays)
             elif jax.default_backend() == "tpu":
                 # Forward rendering needs no gradients: the whole bounce
                 # loop runs in the fused Pallas megakernel (measured 27%

@@ -75,7 +75,8 @@ def cmd_bench(args):
 
 
 def cmd_inspect(args):
-    from .debug import primitive_id_map, trace_pixel
+    from .debug import (bvh_heatmap, primitive_id_map, selection_map,
+                        trace_pixel)
 
     scene = _load(args)
     if args.pixel:
@@ -86,11 +87,16 @@ def cmd_inspect(args):
             print(f"trace {t_i}:")
             for b in bounces:
                 print("  " + b)
+        return
+    from .png import write_png
+    if args.select:
+        img = selection_map(scene, args.select, camera_index=args.camera)
+    elif args.mode == "heatmap":
+        img = bvh_heatmap(scene, camera_index=args.camera)
     else:
-        from .png import write_png
         img = primitive_id_map(scene, camera_index=args.camera)
-        write_png(args.output, img)
-        print(f"wrote {args.output}")
+    write_png(args.output, img)
+    print(f"wrote {args.output}")
 
 
 def cmd_optimize(args):
@@ -154,6 +160,10 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--pixel", default=None, help="x,y bounce trace")
     sp.add_argument("--traces", type=int, default=4)
+    sp.add_argument("--mode", default="prims", choices=["prims", "heatmap"],
+                    help="overlay: primitive-id map or BVH heat map")
+    sp.add_argument("--select", default=None,
+                    help="Selection mode: prim:<id> or node:<index>")
     sp.add_argument("-o", "--output", default="debug.png")
     sp.set_defaults(fn=cmd_inspect)
 

@@ -70,6 +70,55 @@ def bvh_heatmap(scene: HostScene, camera_index: int = 0,
     return np.stack([v, v, v], axis=-1)
 
 
+def selection_map(scene: HostScene, selection: str,
+                  camera_index: int = 0, bvh=None) -> np.ndarray:
+    """[H, W, 4] uint8 overlay of ONLY the selected primitive or BVH node —
+    the DebugRaycaster Selection mode (DebugRaycaster.cs:21-78, 138-161:
+    IIntersector adapters casting against a single primitive/object or a
+    single bounding volume, ignoring the rest of the scene).
+
+    ``selection``: "prim:<id>" (global primitive id; drawn in that id's
+    rotation color) or "node:<index>" (preorder BVH node index; its AABB
+    drawn white).  Alpha 255 where the ray hits the selection, 0 elsewhere.
+    """
+    kind, _, val = selection.partition(":")
+    idx = int(val)
+    o, d = _center_rays(scene, camera_index)
+    h, w = scene.height, scene.width
+    out = np.zeros((h, w, 4), np.uint8)
+
+    if kind == "prim":
+        arrays = freeze_scene(scene)
+        # Retarget every other primitive row to padding (-1): closest_hit
+        # then intersects ONLY the selected primitive — the reference's
+        # single-primitive IIntersector (DebugRaycaster.cs:21-47).
+        only = lambda tbl: tbl.replace(
+            prim_id=jnp.where(tbl.prim_id == idx, tbl.prim_id, -1))
+        arrays = arrays.replace(triangles=only(arrays.triangles),
+                                spheres=only(arrays.spheres),
+                                planes=only(arrays.planes))
+        hit = jax.jit(closest_hit)(arrays, o, d, None)
+        mask = np.asarray(hit.prim).reshape(h, w) == idx
+        out[mask, :3] = _ID_COLORS[idx % len(_ID_COLORS)]
+        out[mask, 3] = 255
+    elif kind == "node":
+        from ..bvh.builder import build_bvh
+        from ..intersect.jnp_ref import aabb_slab
+
+        if bvh is None:
+            bvh = build_bvh(scene)
+        if not 0 <= idx < bvh.n_nodes:
+            raise ValueError(f"node {idx} out of range (0..{bvh.n_nodes-1})")
+        near, far = aabb_slab(bvh.bmin[idx:idx + 1], bvh.bmax[idx:idx + 1],
+                              o, d)
+        mask = np.asarray((near <= far) & (far >= 0))[:, 0].reshape(h, w)
+        out[mask] = 255
+    else:
+        raise ValueError(f"selection must be prim:<id> or node:<i>, "
+                         f"got {selection!r}")
+    return out
+
+
 def trace_pixel(scene: HostScene, x: int, y: int, camera_index: int = 0,
                 n_traces: int = 4, seed: int = 0) -> List[List[str]]:
     """Human-readable bounce listings for one pixel (the RayInspector view).

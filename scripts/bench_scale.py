@@ -39,6 +39,8 @@ def main():
                          "(small scenes only)")
     ap.add_argument("--png", default="", help="write a render to this path")
     ap.add_argument("--spp-png", type=int, default=16)
+    ap.add_argument("--traversal", default="auto",
+                    choices=["auto", "xla", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -68,7 +70,7 @@ def main():
     log(f"bvh: {bvh.n_nodes} nodes, {bvh.leaf_prims.shape[0]} leaves "
         f"in {t_build:.2f}s")
 
-    closest = make_bvh_closest_fn(bvh)
+    closest = make_bvh_closest_fn(bvh, arrays, traversal=args.traversal)
     camera = init_camera(host_cam, args.size, args.size)
     film = Film.create(args.size, args.size)
     key = jax.random.PRNGKey(0)
@@ -126,6 +128,7 @@ def main():
         "ms_per_pass": round(dt * 1e3, 2),
         "paths_per_sec": round(pixels / dt, 1),
         "wavefront_rays_per_sec": round(rays / dt, 1),
+        "traversal": args.traversal,
         "device": str(jax.devices()[0]),
     }))
 
