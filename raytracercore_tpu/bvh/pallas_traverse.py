@@ -74,19 +74,24 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
     invert = np.asarray(mats.invert)
     two_sided = np.asarray(mats.two_sided)
 
-    out = np.zeros((L, K, TRI_F), np.float32)
+    # Lane-align DMA rows: Mosaic HBM slices must be multiples of 128
+    # floats, so pad the slot count to a multiple of 8 (8 * TRI_F = 128).
+    # Padded slots carry row = -1 → tri_test rejects them.
+    K_pad = -(-K // 8) * 8
+    out = np.zeros((L, K_pad, TRI_F), np.float32)
+    out[..., 12] = -1.0
     rows = np.maximum(leaf_prims, 0)
     valid = leaf_prims >= 0
-    out[..., 0:3] = v0[rows]
-    out[..., 3:6] = e1[rows]
-    out[..., 6:9] = e2[rows]
-    out[..., 9:12] = fn[rows]
-    out[..., 12] = np.where(valid, leaf_prims, -1).astype(np.float32)
-    out[..., 13] = mirror[rows].astype(np.float32)
+    out[:, :K, 0:3] = v0[rows]
+    out[:, :K, 3:6] = e1[rows]
+    out[:, :K, 6:9] = e2[rows]
+    out[:, :K, 9:12] = fn[rows]
+    out[:, :K, 12] = np.where(valid, leaf_prims, -1).astype(np.float32)
+    out[:, :K, 13] = mirror[rows].astype(np.float32)
     pid = np.maximum(prim_id[rows], 0)
-    out[..., 14] = (invert[pid] & valid).astype(np.float32)
-    out[..., 15] = (two_sided[pid] | ~valid).astype(np.float32)
-    return out.reshape(L, K * TRI_F)
+    out[:, :K, 14] = (invert[pid] & valid).astype(np.float32)
+    out[:, :K, 15] = (two_sided[pid] | ~valid).astype(np.float32)
+    return out.reshape(L, K_pad * TRI_F)
 
 
 def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
@@ -260,7 +265,7 @@ class PallasBVH:
     def __init__(self, bvh: BVHArrays, tri, mats, n_prims: int):
         self.nodes = jnp.asarray(pack_nodes(bvh))
         self.leaf_tris = jnp.asarray(pack_leaf_tris(bvh, tri, mats))
-        self.K = int(bvh.leaf_prims.shape[1])
+        self.K = int(self.leaf_tris.shape[1]) // TRI_F  # incl. align pad
         self.n_nodes = int(bvh.n_nodes)
         # prim id → triangle-table row (for skip-hit row matching).
         prim_id = np.asarray(tri.prim_id)

@@ -387,6 +387,16 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         sel = bounced[:, None]
         ray_o = jnp.where(sel, hit.position, state.ray_o)
         ray_d = jnp.where(sel, out_dir, d)
+        # Park dead lanes far outside any scene, pointing away: their
+        # results are already committed, and a parked ray misses every
+        # AABB/primitive — so dead lanes stop widening the block-beam BVH
+        # traversal (bvh/pallas_traverse.py) and fully-dead blocks exit
+        # the walk at the root.  (Lanes keep running — this is not
+        # compaction — but their select work short-circuits.)
+        parked_o = jnp.asarray([4e8, 4e8, 4e8], dtype)
+        parked_d = jnp.asarray([1.0, 0.0, 0.0], dtype)
+        ray_o = jnp.where(alive[:, None], ray_o, parked_o)
+        ray_d = jnp.where(alive[:, None], ray_d, parked_d)
         tint = jnp.where(sel, state.tint * new_tint, state.tint)
 
         prev = HitRecord(
