@@ -280,9 +280,56 @@ class PallasBVH:
                 f"BVH node table {vmem_bytes/2**20:.0f} MB exceeds the VMEM "
                 f"budget; raise leaf_size (nodes halve per doubling)")
 
+    def _sort_key(self, ray_o, ray_d):
+        """Coherence key: direction octant (high bits) + 6-bit-per-axis
+        Morton code of the origin within the root AABB.
+
+        Secondary bounce rays arrive in pixel order but scattered in space;
+        blocks of 1024 pixel-ordered rays then span much of the scene and
+        the beam union degrades toward the full preorder walk.  Sorting by
+        (octant, origin locality) re-forms tight beams. Parked dead lanes
+        (origin 4e8) all share one key bucket and compact together.
+        """
+        root_min = self.nodes[0, 0:3]
+        root_max = self.nodes[0, 3:6]
+        ext = jnp.maximum(root_max - root_min, 1e-30)
+        q = jnp.clip((ray_o - root_min) / ext, 0.0, 1.0)
+        q = (q * 63.0).astype(jnp.int32)  # 6 bits per axis
+
+        def spread(x):  # interleave: bit i -> bit 3i (standard 3D Morton)
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        morton = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+                  | (spread(q[:, 2]) << 2))
+        octant = ((ray_d[:, 0] >= 0).astype(jnp.int32)
+                  + 2 * (ray_d[:, 1] >= 0).astype(jnp.int32)
+                  + 4 * (ray_d[:, 2] >= 0).astype(jnp.int32))
+        return (octant << 18) | morton
+
     def select(self, ray_o, ray_d, skip, eps_behind, eps_pos,
-               interpret=False):
-        """(best_row [R] i32 or -1, any [R] bool) — dispatch tri_select."""
+               interpret=False, sort: bool = False):
+        """(best_row [R] i32 or -1, any [R] bool) — dispatch tri_select.
+
+        ``sort=True`` permutes rays into (octant, Morton) order before the
+        kernel and inverts the permutation after.  Algorithmically this
+        re-forms coherent beams for secondary bounces, but measured on v5e
+        the XLA argsort+gather round trips cost ~4x the traversal savings
+        (2.86 -> 11.4 s/pass on 32k tris at 512^2), so it is OFF by
+        default — kept for hardware where gathers are cheaper."""
+        if sort:
+            key = self._sort_key(ray_o, ray_d)
+            perm = jnp.argsort(key)
+            take = lambda a: jnp.take(a, perm, axis=0)
+            skip_p = None if skip is None else jax.tree.map(take, skip)
+            row_p, any_p = self.select(take(ray_o), take(ray_d), skip_p,
+                                       eps_behind, eps_pos,
+                                       interpret=interpret, sort=False)
+            inv = jnp.argsort(perm)
+            return jnp.take(row_p, inv), jnp.take(any_p, inv)
         R = ray_o.shape[0]
         pad = (-R) % BLOCK
         pz = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))

@@ -269,7 +269,10 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         # Periodic renormalization (Raytracer.cs:74-75).
         d = jnp.where(i % 3 == 0, vm.normalize(state.ray_d), state.ray_d)
 
-        hit = closest_fn(scene, state.ray_o, d, state.prev)
+        # named_scope: xprof-visible phase annotations (SURVEY §5.1 — the
+        # reference's only profiling is a stopwatch per tile).
+        with jax.named_scope("closest_hit"):
+            hit = closest_fn(scene, state.ray_o, d, state.prev)
         active = state.alive
         found = hit.found
 

@@ -75,15 +75,18 @@ def render_passes(scene: SceneArrays, camera, film: Film, base_key, start,
     def body(i, f):
         key = jax.random.fold_in(base_key, start + i)
         k_cam, k_path = jax.random.split(key)
-        ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
+        with jax.named_scope("camera_rays"):
+            ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
         if trace_fn is not None:
-            color, miss = trace_fn(scene, ray_o, ray_d, k_path)
+            with jax.named_scope("trace_fused"):
+                color, miss = trace_fn(scene, ray_o, ray_d, k_path)
         else:
             # early_exit=False: see render_pass — same steady-state speed,
             # far cheaper compile (the while_loop body compiles ~8x slower).
             color, miss = trace(scene, ray_o, ray_d, k_path,
                                 closest_fn=closest_fn, early_exit=False)
-        return f.add_full_frame(color, miss)
+        with jax.named_scope("film_accum"):
+            return f.add_full_frame(color, miss)
 
     return jax.lax.fori_loop(0, n, body, film)
 
@@ -202,6 +205,13 @@ class Renderer:
             "elapsed_sec": self._elapsed,
             "progress": spp / (spp + 1000.0),
         }
+
+    def profile(self, logdir: str, n: int = 4) -> None:
+        """Capture an xprof trace of ``n`` render passes (SURVEY §5.1).
+        View with tensorboard/xprof; phases appear as the named scopes
+        camera_rays / closest_hit / trace_fused / film_accum."""
+        with jax.profiler.trace(logdir):
+            self.step(n)
 
     def image(self, exposure: float = 1.0) -> np.ndarray:
         """Tonemapped uint8 RGBA frame (GetBitmap, FullRaytracer.cs:179-205)."""
