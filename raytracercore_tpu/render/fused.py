@@ -12,7 +12,12 @@ semantics and the preprocessed-uniform contract of
 :func:`..render.integrator.prepare_uniforms`).
 
 Forward-only: branch selection and the fori carry are not reverse-mode
-differentiable.  Training uses the dispatch path.
+differentiable.  Training records a :class:`..render.integrator.PathTape`
+here (``want_tape=True``) and differentiates the [R]-shaped replay
+(:mod:`.replay`) — the kernel emits each bounce's discrete decisions
+(winning primitive + BounceType/inside/Fresnel-live flags) as two extra
+int32 outputs, so the stop-grad recording pass runs at megakernel speed
+instead of paying per-bounce HBM round trips through the dispatch path.
 """
 
 from __future__ import annotations
@@ -50,10 +55,13 @@ def _pack_materials(mats):
 
 def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
                  recursion: int, eps_behind: float, eps_pos: float,
-                 ambient_is_miss: bool):
+                 ambient_is_miss: bool, want_tape: bool = False):
+    from .integrator import BounceType as BT
+    from .integrator import PathTape
 
     def kernel(ox, oy, oz, dx, dy, dz, u_ref, tf, ti, sf, si, pf, pi,
-               mf, scf, rr_o, rg_o, rb_o, miss_o):
+               mf, scf, rr_o, rg_o, rb_o, miss_o, *tape_refs):
+        tp_o, tfl_o = tape_refs if want_tape else (None, None)
         shape = ox[:].shape
         zero = jnp.zeros(shape, jnp.float32)
         one = jnp.ones(shape, jnp.float32)
@@ -113,6 +121,10 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
             hit_nrm = best.nrm
             inside = best.inside != 0
 
+            # Tape masks: aliveness at bounce entry, and this bounce's miss.
+            active = alive
+            was_missed = alive & ~found
+
             # --- miss handling (Raytracer.cs:81-91) ----------------------
             miss = miss_i != 0
             if i == 0:
@@ -156,6 +168,17 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
             te = (tint[0] * emis[0], tint[1] * emis[1], tint[2] * emis[2])
             if i >= recursion:  # statically the last bounce
                 result = vm.where3(alive, te, result)
+                if want_tape:
+                    # No shading on the final bounce, so no FLIVE bit — the
+                    # replay only reads flags on bounced codes, which cannot
+                    # occur here (everything still alive is
+                    # RECURSION_COMPLETE, Raytracer.cs:100-104).
+                    code = jnp.where(was_missed, BT.MISSED,
+                                     jnp.where(alive, BT.RECURSION_COMPLETE,
+                                               BT.SKIPPED))
+                    flags = code | jnp.where(inside, PathTape.FLAG_INSIDE, 0)
+                    tp_o[i] = jnp.where(active, best.prim, -1)
+                    tfl_o[i] = jnp.where(active, flags, 0)
                 return (o, d, tint, izero, result,
                         miss.astype(jnp.int32), pv_prim, pv_pos, pv_nrm,
                         pv_in)
@@ -234,6 +257,23 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
             new_tint = vm.scale3(new_tint, comp)
 
             bounced = alive
+            if want_tape:
+                # Discrete decisions of this bounce (same mask logic as the
+                # tape write in integrator.trace; masks are disjoint and all
+                # include aliveness).
+                code = jnp.where(was_missed, BT.MISSED, BT.SKIPPED)
+                code = jnp.where(black, BT.PURE_BLACK, code)
+                code = jnp.where(terminal & pick_emit, BT.EMISSION, code)
+                code = jnp.where(terminal & pick_spec & ~spec_ok,
+                                 BT.SPECULAR_FAIL, code)
+                code = jnp.where(bounced & pick_refr, BT.TRANSMITTED, code)
+                code = jnp.where(bounced & pick_spec, BT.SPECULAR, code)
+                code = jnp.where(bounced & pick_diff, BT.DIFFUSE, code)
+                flags = (code
+                         | jnp.where(inside, PathTape.FLAG_INSIDE, 0)
+                         | jnp.where(f_live, PathTape.FLAG_FLIVE, 0))
+                tp_o[i] = jnp.where(active, best.prim, -1)
+                tfl_o[i] = jnp.where(active, flags, 0)
             o = vm.where3(bounced, hit_pos, o)
             d = vm.where3(bounced, out_dir, d)
             tint = vm.where3(
@@ -268,10 +308,10 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "T", "S", "P", "N", "n_bounces", "recursion", "eps_behind", "eps_pos",
-    "ambient_is_miss", "interpret"))
+    "ambient_is_miss", "interpret", "want_tape"))
 def _run(ox, oy, oz, dx, dy, dz, u, tf, ti, sf, si, pf, pi, mf, scf,
          T, S, P, N, n_bounces, recursion, eps_behind, eps_pos,
-         ambient_is_miss, interpret):
+         ambient_is_miss, interpret, want_tape=False):
     m = ox.shape[0]
     grid = (m // BM,)
     ray_spec = pl.BlockSpec((BM, LANES), lambda i: (i, 0),
@@ -283,16 +323,25 @@ def _run(ox, oy, oz, dx, dy, dz, u, tf, ti, sf, si, pf, pi, mf, scf,
     out_spec = pl.BlockSpec((BM, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = _make_kernel(T, S, P, N, n_bounces, recursion,
-                          eps_behind, eps_pos, ambient_is_miss)
+                          eps_behind, eps_pos, ambient_is_miss,
+                          want_tape=want_tape)
     i32 = jax.ShapeDtypeStruct((m, LANES), jnp.int32)
     f32 = jax.ShapeDtypeStruct((m, LANES), jnp.float32)
+    out_shape = (f32, f32, f32, i32)
+    out_specs = (out_spec,) * 4
+    if want_tape:
+        tape_shape = jax.ShapeDtypeStruct((n_bounces, m, LANES), jnp.int32)
+        tape_spec = pl.BlockSpec((n_bounces, BM, LANES), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = out_shape + (tape_shape, tape_shape)
+        out_specs = out_specs + (tape_spec, tape_spec)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[ray_spec] * 6 + [u_spec]
         + [table_spec(a) for a in (tf, ti, sf, si, pf, pi, mf, scf)],
-        out_specs=(out_spec,) * 4,
-        out_shape=(f32, f32, f32, i32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz, u, tf, ti, sf, si, pf, pi, mf, scf)
 
@@ -307,10 +356,20 @@ def fits(scene: SceneArrays) -> bool:
     return n_rows <= MAX_PRIMS and not scene.debug_geom
 
 
-def trace_fused(scene: SceneArrays, ray_o, ray_d, key, interpret=None):
+def trace_fused(scene: SceneArrays, ray_o, ray_d, key, interpret=None,
+                uniforms=None, want_tape=False):
     """Drop-in forward replacement for :func:`..render.integrator.trace`
-    (same (color, miss) contract, same uniform consumption)."""
-    from .integrator import prepare_uniforms
+    (same (color, miss) contract, same uniform consumption).
+
+    ``uniforms``: pre-generated :func:`..render.integrator.prepare_uniforms`
+    output ([bounces, 7, R]) to consume instead of drawing from ``key`` —
+    the replay train path shares one uniform set between recording and
+    replay.  ``want_tape``: also return a
+    :class:`..render.integrator.PathTape` of per-bounce discrete decisions,
+    recorded inside the kernel (the fast recording pass for
+    :func:`.replay.trace_replay`).
+    """
+    from .integrator import PathTape, prepare_uniforms
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -320,8 +379,9 @@ def trace_fused(scene: SceneArrays, ray_o, ray_d, key, interpret=None):
     pad = (-R) % BLOCK
     m = (R + pad) // LANES
 
-    uniforms = prepare_uniforms(key, R, n_bounces, jnp.float32)  # [B, 7, R]
-    u = jnp.pad(uniforms.reshape(n_bounces * 7, R),
+    if uniforms is None:
+        uniforms = prepare_uniforms(key, R, n_bounces, jnp.float32)
+    u = jnp.pad(uniforms.astype(jnp.float32).reshape(n_bounces * 7, R),
                 ((0, 0), (0, pad))).reshape(n_bounces * 7, m, LANES)
 
     def prep(a):
@@ -340,16 +400,22 @@ def trace_fused(scene: SceneArrays, ray_o, ray_d, key, interpret=None):
     from ..intersect.dispatch import _position_eps
     eps_pos = float(_position_eps(jnp.float32))
 
-    rr, rg, rb, miss = _run(
+    out = _run(
         ox, oy, oz, dx, dy, dz, u,
         tf.astype(jnp.float32), ti, sf.astype(jnp.float32), si,
         pf.astype(jnp.float32), pi, mf, scf,
         T=tf.shape[0], S=sf.shape[0], P=pf.shape[0], N=mf.shape[0],
         n_bounces=n_bounces, recursion=scene.recursion,
         eps_behind=eps_behind, eps_pos=eps_pos,
-        ambient_is_miss=scene.ambient_is_miss, interpret=bool(interpret))
+        ambient_is_miss=scene.ambient_is_miss, interpret=bool(interpret),
+        want_tape=want_tape)
+    rr, rg, rb, miss = out[:4]
 
     unpack = lambda a: a.reshape(-1)[:R]
     color = jnp.stack([unpack(rr), unpack(rg), unpack(rb)],
                       axis=1).astype(dtype)
+    if want_tape:
+        unpack_t = lambda a: a.reshape(n_bounces, -1)[:, :R]
+        tape = PathTape(prim=unpack_t(out[4]), flags=unpack_t(out[5]))
+        return color, unpack(miss) != 0, tape
     return color, unpack(miss) != 0

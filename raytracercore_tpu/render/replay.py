@@ -334,18 +334,48 @@ def _default_record_fn(scene: SceneArrays, closest_fn):
     return closest_fn
 
 
+def record_tape_fused(scene: SceneArrays, ray_o, ray_d, uniforms):
+    """Stop-grad recording pass through the whole-path megakernel
+    (:func:`..render.fused.trace_fused` with ``want_tape=True``): the
+    tape is emitted from inside the kernel, so recording costs one
+    megakernel pass instead of per-bounce HBM round trips."""
+    from . import fused
+
+    sg = jax.lax.stop_gradient
+    scene_sg = jax.tree.map(sg, scene)
+    _, _, tape = fused.trace_fused(scene_sg, sg(ray_o), sg(ray_d), None,
+                                   uniforms=sg(uniforms), want_tape=True)
+    return jax.tree.map(sg, tape)
+
+
 def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
-                 closest_fn=closest_hit):
+                 closest_fn=closest_hit, record_fused=None):
     """Drop-in for :func:`..render.integrator.trace` on the TRAIN path:
     identical (color, miss) estimator and gradients, ~selection-free
     backward.  Forward-only rendering should keep using ``trace`` (or the
     fused megakernel) — the tape write is pure overhead there.
+
+    ``record_fused``: route the recording pass through the megakernel
+    (:func:`record_tape_fused`).  Default ``None`` = auto: on TPU, for
+    kernel-sized scenes, when the caller didn't pick a ``closest_fn``.
+    Knife-edge branch picks can differ between Mosaic and XLA arithmetic
+    for a tiny fraction of rays; the tape stays self-consistent (it is the
+    path the megakernel itself sampled), so the estimator is unchanged.
     """
     if scene.debug_geom:
         # Flat geometry view has no bounce loop to replay.
         return trace(scene, ray_o, ray_d, key, closest_fn=closest_fn)
     R = ray_o.shape[0]
     uniforms = prepare_uniforms(key, R, scene.recursion + 1, ray_o.dtype)
-    record_fn = _default_record_fn(scene, closest_fn)
-    tape = record_tape(scene, ray_o, ray_d, uniforms, closest_fn=record_fn)
+    if record_fused is None:
+        from . import fused
+        record_fused = (closest_fn is closest_hit
+                        and jax.default_backend() == "tpu"
+                        and fused.fits(scene))
+    if record_fused:
+        tape = record_tape_fused(scene, ray_o, ray_d, uniforms)
+    else:
+        record_fn = _default_record_fn(scene, closest_fn)
+        tape = record_tape(scene, ray_o, ray_d, uniforms,
+                           closest_fn=record_fn)
     return replay(scene, ray_o, ray_d, uniforms, tape)

@@ -89,3 +89,61 @@ def test_trace_fused_ambient_miss_mode():
     close = np.all(np.abs(ref_c - got_c) <= 1e-3 + 1e-3 * np.abs(ref_c),
                    axis=1)
     assert close.mean() > 0.97, f"only {close.mean():.3f} of rays match"
+
+
+def test_kernel_tape_matches_trace_tape():
+    """``want_tape=True``: the megakernel-recorded PathTape agrees with the
+    integrator's own tape (codes everywhere; prim + full flags wherever the
+    replay reads them), and the [R]-shaped replay re-walks the kernel's
+    path to the exact colors the kernel produced — the contract the fast
+    train recording path (replay.record_tape_fused) relies on."""
+    import jax.numpy as jnp
+
+    from raytracercore_tpu.render.integrator import PathTape, prepare_uniforms
+    from raytracercore_tpu.render.replay import replay
+
+    scene = loader.parse(SCENE)
+    arrays = freeze_scene(scene)
+    cam = init_camera(scene.cameras[0], scene.width, scene.height)
+    px, py = cam_mod.pixel_grid(scene.width, scene.height)
+    k_cam, k_path = jax.random.split(jax.random.PRNGKey(3))
+    ray_o, ray_d = cam_mod.camera_rays(cam, px, py, k_cam)
+    uniforms = prepare_uniforms(k_path, ray_o.shape[0],
+                                arrays.recursion + 1, jnp.float32)
+
+    _, m_ref, tape_ref = trace(arrays, ray_o, ray_d, None,
+                               uniforms=uniforms, want_tape=True)
+    c_k, m_k, tape_k = trace_fused(arrays, ray_o, ray_d, None,
+                                   uniforms=uniforms, want_tape=True,
+                                   interpret=True)
+
+    code_ref = np.asarray(tape_ref.flags & PathTape.CODE_MASK)
+    code_k = np.asarray(tape_k.flags & PathTape.CODE_MASK)
+    # Codes must agree near-universally; knife-edge f32 branch flips between
+    # backends are the only allowed source of disagreement (see
+    # test_trace_fused_matches_integrator).
+    agree = code_ref == code_k
+    assert agree.mean() > 0.99, f"only {agree.mean():.3f} of codes match"
+    nonskip = agree & (code_ref != 0)
+    assert nonskip.any()
+    np.testing.assert_array_equal(np.asarray(tape_ref.prim)[nonskip],
+                                  np.asarray(tape_k.prim)[nonskip])
+    # Full flag words (inside/Fresnel-live bits) where the replay reads
+    # them: bounced codes (Diffuse=1, Specular=2, Transmitted=4).
+    bounced = agree & np.isin(code_ref, (1, 2, 4))
+    assert bounced.any()
+    np.testing.assert_array_equal(np.asarray(tape_ref.flags)[bounced],
+                                  np.asarray(tape_k.flags)[bounced])
+
+    # The replay of the kernel's tape must land on the kernel's own colors
+    # (exactly, when every code agrees — both walk the same decisions).
+    c_rep, m_rep = replay(arrays, ray_o, ray_d, uniforms, tape_k)
+    if agree.all():
+        np.testing.assert_allclose(np.asarray(c_rep), np.asarray(c_k),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m_rep), np.asarray(m_k))
+    else:  # pragma: no cover - backend-dependent knife edges
+        both = np.all(agree, axis=0)
+        np.testing.assert_allclose(np.asarray(c_rep)[both],
+                                   np.asarray(c_k)[both],
+                                   rtol=1e-5, atol=1e-5)
