@@ -66,25 +66,85 @@ VPU_FMA_PEAK_TFLOPS = 7.7
 
 def kernel_equivalence(arrays, camera, key):
     """Compiled-on-hardware equivalence: megakernel vs the XLA integrator
-    (VERDICT #8 — interpret-mode tests can't see Mosaic codegen bugs).
-    Returns fraction of rays with matching color at 1e-3 tolerance."""
+    (interpret-mode tests can't see Mosaic codegen bugs), with the tape-level
+    attribution VERDICT r2 asked for.
+
+    Both paths emit a PathTape; for every color-mismatched ray we check
+    whether its recorded path differs — per-bounce code + winning prim +
+    inside/Fresnel bits, compared up to each ray's first terminal bounce —
+    and, where the picks agree, whether the recorded hit NORMALS drifted
+    (>1e-2).  Classification of mismatched rays:
+
+    * flip     — a discrete pick differs: knife-edge branch/prim flip,
+                 expected at rec10 where Mosaic and XLA round differently
+                 near comparison thresholds;
+    * graze    — same picks but materially different hit normals: a
+                 grazing-angle geometric knife-edge (ulp-different ray
+                 direction lands elsewhere on the same primitive);
+    * samepick — same picks AND same normals yet different color: would
+                 be a genuine Mosaic arithmetic bug.
+
+    Returns (close_frac, miss_frac, flip_frac, graze_frac, samepick_frac);
+    the last three partition the mismatched rays (fractions of all rays).
+    """
     import jax
     import numpy as np
 
     from raytracercore_tpu.render import camera as cam_mod
     from raytracercore_tpu.render import fused
-    from raytracercore_tpu.render.integrator import trace
+    from raytracercore_tpu.render.integrator import BounceType, PathTape, trace
+    from raytracercore_tpu.render.integrator import prepare_uniforms
 
     px, py = cam_mod.pixel_grid(64, 64)
     k_cam, k_path = jax.random.split(key)
     ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
-    ref_c, ref_m = jax.jit(trace)(arrays, ray_o, ray_d, k_path)
-    got_c, got_m = jax.jit(fused.trace_fused)(arrays, ray_o, ray_d, k_path)
+    # Shared uniforms so the two paths sample identical decisions.
+    uniforms = jax.jit(prepare_uniforms, static_argnums=(1, 2))(
+        k_path, ray_o.shape[0], arrays.recursion + 1)
+    ref_c, ref_m, ref_t = jax.jit(
+        lambda: trace(arrays, ray_o, ray_d, None, uniforms=uniforms,
+                      want_tape=True))()
+    got_c, got_m, got_t = jax.jit(
+        lambda: fused.trace_fused(arrays, ray_o, ray_d, None,
+                                  uniforms=uniforms, want_tape=True))()
     ref_c, got_c = np.asarray(ref_c), np.asarray(got_c)
     miss_eq = float((np.asarray(ref_m) == np.asarray(got_m)).mean())
     close = np.all(np.abs(ref_c - got_c) <= 1e-3 + 1e-3 * np.abs(ref_c),
                    axis=1)
-    return float(close.mean()), miss_eq
+
+    # --- path comparison (host-side, [B, R] int32 tapes) ------------------
+    # Recorder bit-contracts differ on dead/terminal lanes (see PathTape
+    # docstring), so compare (code, prim) only while the ref path is live:
+    # from bounce 0 up to and including its first terminal/miss code.
+    flags_r, flags_g = np.asarray(ref_t.flags), np.asarray(got_t.flags)
+    codes_r = flags_r & PathTape.CODE_MASK
+    codes_g = flags_g & PathTape.CODE_MASK
+    prim_r, prim_g = np.asarray(ref_t.prim), np.asarray(got_t.prim)
+    nrm_r = np.stack([np.asarray(a) for a in
+                      (ref_t.nx, ref_t.ny, ref_t.nz)], axis=-1)
+    nrm_g = np.stack([np.asarray(a) for a in
+                      (got_t.nx, got_t.ny, got_t.nz)], axis=-1)
+    bounced = {BounceType.DIFFUSE, BounceType.SPECULAR,
+               BounceType.TRANSMITTED}
+    live = np.ones(ref_c.shape[0], bool)   # ref path still live at bounce i
+    path_eq = np.ones(ref_c.shape[0], bool)
+    nrm_eq = np.ones(ref_c.shape[0], bool)
+    bits = PathTape.FLAG_INSIDE | PathTape.FLAG_FLIVE
+    for i in range(codes_r.shape[0]):
+        cr, cg = codes_r[i], codes_g[i]
+        is_b = np.isin(cr, list(bounced))
+        same = (cr == cg) & (~is_b | ((prim_r[i] == prim_g[i])
+                                      & ((flags_r[i] & bits)
+                                         == (flags_g[i] & bits))))
+        n_close = np.abs(nrm_r[i] - nrm_g[i]).max(axis=-1) <= 1e-2
+        path_eq &= ~live | same
+        nrm_eq &= ~(live & is_b & same) | n_close
+        live &= is_b & same  # a diverged path stops constraining later
+    mismatch = ~close
+    flip = float((mismatch & ~path_eq).mean())
+    graze = float((mismatch & path_eq & ~nrm_eq).mean())
+    samepick = float((mismatch & path_eq & nrm_eq).mean())
+    return float(close.mean()), miss_eq, flip, graze, samepick
 
 
 def main():
@@ -158,14 +218,15 @@ def main():
         dt_fb = float("inf")
 
     # --- on-hardware kernel equivalence (Mosaic vs XLA semantics) ---------
-    equiv = miss_eq = None
+    equiv = miss_eq = flip = graze = samepick = None
     if on_tpu:
         try:
-            equiv, miss_eq = kernel_equivalence(
+            equiv, miss_eq, flip, graze, samepick = kernel_equivalence(
                 arrays, init_camera(scene.cameras[0], 64, 64),
                 jax.random.PRNGKey(7))
             log(f"bench: kernel equivalence {equiv:.4f} "
-                f"(miss map {miss_eq:.4f})")
+                f"(miss map {miss_eq:.4f}, branch-flip {flip:.4f}, "
+                f"graze {graze:.4f}, samepick-mismatch {samepick:.4f})")
         except Exception as e:  # noqa: BLE001
             log(f"bench: kernel equivalence check failed: {e}")
 
@@ -196,6 +257,9 @@ def main():
             "baseline_samples_px_sec": BASELINE_SAMPLES_PX_SEC,
             "kernel_equiv_close_frac": equiv,
             "kernel_equiv_miss_frac": miss_eq,
+            "kernel_equiv_flip_frac": flip,
+            "kernel_equiv_graze_frac": graze,
+            "kernel_equiv_samepick_mismatch_frac": samepick,
             "model_tflops_fwd": round(tflops_fwd, 3),
             "vs_roofline_fwd": round(tflops_fwd / VPU_FMA_PEAK_TFLOPS, 4),
             "model_tflops_fwdbwd": round(tflops_fb, 3),

@@ -20,4 +20,14 @@ Layering (bottom-up):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Every matmul/einsum in this package is geometry (sphere/ellipsoid ray
+# transforms) or an exact one-hot row gather — never a tolerance-friendly
+# NN contraction.  The TPU default precision multiplies in bf16, which
+# corrupts those at ~4e-3 relative (measured round 3: the root cause of
+# the megakernel/integrator divergence).  Default the whole package to
+# full-f32 matmuls; hot sites additionally pin precision explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import core, scene  # noqa: F401

@@ -5,9 +5,10 @@ The reference's only parallel axis is CPU threads over image tiles
 
 * ``rays``  — data parallelism over pixels/rays (the tile axis).  Uniform
   SPMD batches replace the reference's dynamic tile stealing (SURVEY §5.8).
-* ``prims`` — optional model-parallel axis sharding the primitive tables;
+* ``prims`` — optional model-parallel axis sharding the triangle table;
   each device intersects its slice and the closest hit is reduced with a
-  cross-device min (the tensor-parallel analog for a path tracer).
+  cross-device min (the tensor-parallel analog for a path tracer) —
+  implemented by :func:`..parallel.shard.make_prims_sharded_render_pass`.
 
 Default layout puts every device on ``rays``.
 """

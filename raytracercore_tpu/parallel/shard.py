@@ -12,6 +12,7 @@ perf baseline measures (fwd+bwd rays/sec).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -23,9 +24,9 @@ from ..diff import with_material_params
 from ..intersect.dispatch import closest_hit
 from ..render import camera as cam_mod
 from ..render.film import Film
-from ..render.integrator import trace
+from ..render.integrator import prepare_uniforms, trace
 from ..render.replay import trace_replay
-from ..scene.types import SceneArrays
+from ..scene.types import SceneArrays, Triangles
 from .mesh import ray_sharded, replicated
 
 
@@ -62,6 +63,103 @@ def make_sharded_render_pass(mesh: Mesh, closest_fn=closest_hit) -> Callable:
         ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
         color, miss = trace(scene, ray_o, ray_d, k_path,
                             closest_fn=closest_fn)
+        return film.add_full_frame(color, miss)
+
+    return render_pass
+
+
+def pad_triangles_for_prims(scene: SceneArrays, n_prims: int) -> SceneArrays:
+    """Pad the triangle table so its row count divides the ``prims`` mesh
+    axis; padding rows carry ``prim_id = -1`` and are masked by every
+    selection path (jnp_ref.triangle_candidates ``table_ok``)."""
+    tri = scene.triangles
+    t = tri.v0.shape[0]
+    pad = (-t) % n_prims
+    if pad == 0:
+        return scene
+    pz = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+    tri = Triangles(
+        v0=pz(tri.v0), e1=pz(tri.e1), e2=pz(tri.e2), normal=pz(tri.normal),
+        n0=pz(tri.n0), n1=pz(tri.n1), n2=pz(tri.n2),
+        mirror=pz(tri.mirror), smooth=pz(tri.smooth),
+        prim_id=jnp.concatenate(
+            [tri.prim_id, jnp.full((pad,), -1, jnp.int32)]))
+    return scene.replace(triangles=tri)
+
+
+def make_prims_sharded_render_pass(mesh: Mesh) -> Callable:
+    """A render pass with the TRIANGLE TABLE sharded over the ``prims``
+    mesh axis — the tensor-parallel analog for a path tracer
+    (parallel/mesh.py): each device intersects rays against its slice of
+    the triangle table (spheres/planes are tiny and stay replicated), and
+    the per-bounce closest hit is combined with a cross-device min
+    reduction over ``prims`` inside the bounce loop.
+
+    Rays are simultaneously sharded over ``rays``, so an (r, p) mesh runs
+    r-way data parallelism × p-way primitive parallelism.  Duplicate
+    sphere/plane candidates across the prims axis tie exactly in the min
+    reduction, so the combined record equals the single-device result.
+
+    Returns ``render_pass(scene, camera, film, key) → film`` where
+    ``scene`` must be pre-padded with :func:`pad_triangles_for_prims`.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import PRIMS_AXIS, RAYS_AXIS
+
+    def scene_spec(scene: SceneArrays):
+        tri_spec = jax.tree.map(lambda _: P(PRIMS_AXIS), scene.triangles)
+        rep = jax.tree.map(lambda _: P(), scene)
+        return rep.replace(triangles=tri_spec)
+
+    def closest_prims(scene, ray_o, ray_d, skip):
+        local = closest_hit(scene, ray_o, ray_d, skip)
+        # Cross-device winner: min over the prims axis keyed on t.
+        t_key = jnp.where(local.found, local.t, jnp.inf)
+        gather = lambda a: jax.lax.all_gather(a, PRIMS_AXIS)
+        all_t = gather(t_key)                       # [p, R]
+        win = jnp.argmin(all_t, axis=0)             # [R]
+
+        def pick(a):
+            g = gather(a)                           # [p, R, ...]
+            idx = win.reshape((1,) + win.shape + (1,) * (a.ndim - 1))
+            return jnp.take_along_axis(
+                g, jnp.broadcast_to(idx, (1,) + g.shape[1:]), axis=0)[0]
+
+        found = jnp.isfinite(jnp.min(all_t, axis=0))
+        return local.replace(
+            prim=jnp.where(found, pick(local.prim), -1),
+            t=pick(local.t), position=pick(local.position),
+            normal=pick(local.normal), inside=pick(local.inside))
+
+    @jax.jit
+    def render_pass(scene: SceneArrays, camera, film: Film, key) -> Film:
+        h, w = film.shape
+        spec = scene_spec(scene)
+
+        # Rays and randomness are generated GLOBALLY (GSPMD shards them over
+        # ``rays``); only the bounce loop runs under shard_map, so results
+        # are bitwise-independent of the mesh layout.
+        px, py = cam_mod.pixel_grid(w, h)
+        k_cam, k_path = jax.random.split(key)
+        ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
+        uniforms = prepare_uniforms(k_path, h * w, scene.recursion + 1,
+                                    ray_o.dtype)
+
+        traced = shard_map(
+            lambda s, o, d, u: trace(s, o, d, None,
+                                     closest_fn=closest_prims, uniforms=u),
+            mesh=mesh,
+            in_specs=(spec, P(RAYS_AXIS, None), P(RAYS_AXIS, None),
+                      P(None, None, RAYS_AXIS)),
+            out_specs=(P(RAYS_AXIS, None), P(RAYS_AXIS)),
+            # The all_gather+argmin combine makes per-bounce state
+            # replicated over ``prims``, which the varying-axis checker
+            # cannot see through.
+            check_vma=False)
+        color, miss = traced(scene, ray_o, ray_d, uniforms)
         return film.add_full_frame(color, miss)
 
     return render_pass

@@ -61,7 +61,8 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
 
     def kernel(ox, oy, oz, dx, dy, dz, u_ref, tf, ti, sf, si, pf, pi,
                mf, scf, rr_o, rg_o, rb_o, miss_o, *tape_refs):
-        tp_o, tfl_o = tape_refs if want_tape else (None, None)
+        tp_o, tfl_o, tnx_o, tny_o, tnz_o = tape_refs if want_tape \
+            else (None,) * 5
         shape = ox[:].shape
         zero = jnp.zeros(shape, jnp.float32)
         one = jnp.ones(shape, jnp.float32)
@@ -179,6 +180,9 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
                     flags = code | jnp.where(inside, PathTape.FLAG_INSIDE, 0)
                     tp_o[i] = jnp.where(active, best.prim, -1)
                     tfl_o[i] = jnp.where(active, flags, 0)
+                    tnx_o[i] = hit_nrm[0]
+                    tny_o[i] = hit_nrm[1]
+                    tnz_o[i] = hit_nrm[2]
                 return (o, d, tint, izero, result,
                         miss.astype(jnp.int32), pv_prim, pv_pos, pv_nrm,
                         pv_in)
@@ -274,6 +278,9 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
                          | jnp.where(f_live, PathTape.FLAG_FLIVE, 0))
                 tp_o[i] = jnp.where(active, best.prim, -1)
                 tfl_o[i] = jnp.where(active, flags, 0)
+                tnx_o[i] = hit_nrm[0]
+                tny_o[i] = hit_nrm[1]
+                tnz_o[i] = hit_nrm[2]
             o = vm.where3(bounced, hit_pos, o)
             d = vm.where3(bounced, out_dir, d)
             tint = vm.where3(
@@ -330,11 +337,13 @@ def _run(ox, oy, oz, dx, dy, dz, u, tf, ti, sf, si, pf, pi, mf, scf,
     out_shape = (f32, f32, f32, i32)
     out_specs = (out_spec,) * 4
     if want_tape:
-        tape_shape = jax.ShapeDtypeStruct((n_bounces, m, LANES), jnp.int32)
+        tape_i32 = jax.ShapeDtypeStruct((n_bounces, m, LANES), jnp.int32)
+        tape_f32 = jax.ShapeDtypeStruct((n_bounces, m, LANES), jnp.float32)
         tape_spec = pl.BlockSpec((n_bounces, BM, LANES), lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = out_shape + (tape_shape, tape_shape)
-        out_specs = out_specs + (tape_spec, tape_spec)
+        out_shape = out_shape + (tape_i32, tape_i32, tape_f32, tape_f32,
+                                 tape_f32)
+        out_specs = out_specs + (tape_spec,) * 5
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -416,6 +425,9 @@ def trace_fused(scene: SceneArrays, ray_o, ray_d, key, interpret=None,
                       axis=1).astype(dtype)
     if want_tape:
         unpack_t = lambda a: a.reshape(n_bounces, -1)[:, :R]
-        tape = PathTape(prim=unpack_t(out[4]), flags=unpack_t(out[5]))
+        tape = PathTape(prim=unpack_t(out[4]), flags=unpack_t(out[5]),
+                        nx=unpack_t(out[6]).astype(dtype),
+                        ny=unpack_t(out[7]).astype(dtype),
+                        nz=unpack_t(out[8]).astype(dtype))
         return color, unpack(miss) != 0, tape
     return color, unpack(miss) != 0

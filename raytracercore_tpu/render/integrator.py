@@ -85,30 +85,49 @@ class BounceRecords(struct.PyTreeNode):
 class PathTape(struct.PyTreeNode):
     """Compact per-bounce decision record for the path-replay backward.
 
-    The stop-grad forward records only the DISCRETE outcomes of each bounce
-    — which primitive won the closest-hit query and which interaction branch
+    The stop-grad forward records the DISCRETE outcomes of each bounce —
+    which primitive won the closest-hit query and which interaction branch
     was taken (the choices made by ``Raytracer.GetColor``'s comparisons,
-    Raytracer.cs:163-229).  The differentiable replay
-    (:mod:`.replay`) then recomputes the continuous shading math on the
-    recorded path without ever re-running selection, so the backward pass
-    never touches the [rays × prims] intersection grids.
+    Raytracer.cs:163-229) — plus the hit NORMAL, which is a pure function
+    of stop-gradded geometry.  The differentiable replay (:mod:`.replay`)
+    then recomputes only the shading math on the recorded path: no
+    selection, no winner re-evaluation, no [rays × prims] grids — gradients
+    enter exclusively through the material table (shininess → rough
+    normal, IOR → Fresnel/refraction, albedos/emission → tint), never
+    through the recorded geometry.
+
+    Normals are stored as separate [bounces, R] component planes (not
+    [..., 3]) so the replay's column-oriented math reads full 128-lane
+    rows; they are defined only on bounces whose code requires shading.
 
     ``flags`` bit layout: bits 0-3 = :class:`BounceType` code,
     bit 4 = hit ``inside`` (post-Invert), bit 5 = ``f_live``
     (Fresnel evaluated: refraction geometrically possible and no TIR).
+
+    Bit-equality contract: ``prim`` and ``flags`` are only defined where
+    the replay reads them — ``prim`` on live bounces, INSIDE/FLIVE bits on
+    bounced codes.  The two recorders differ elsewhere (the megakernel
+    writes prim = -1 / flags = 0 on dead lanes and omits FLIVE on the
+    final bounce, while ``trace`` writes hit fields unconditionally); any
+    new tape consumer must mask rather than assume recorder equivalence.
     """
 
     prim: jnp.ndarray   # [bounces, R] int32 winning primitive (-1 miss)
     flags: jnp.ndarray  # [bounces, R] int32 bitfield
+    nx: jnp.ndarray     # [bounces, R] hit normal components (see class doc)
+    ny: jnp.ndarray
+    nz: jnp.ndarray
 
     FLAG_INSIDE = 1 << 4
     FLAG_FLIVE = 1 << 5
     CODE_MASK = 0xF
 
     @classmethod
-    def create(cls, n, bounces):
+    def create(cls, n, bounces, dtype=jnp.float32):
+        z = lambda: jnp.zeros((bounces, n), dtype)
         return cls(prim=jnp.full((bounces, n), -1, jnp.int32),
-                   flags=jnp.zeros((bounces, n), jnp.int32))
+                   flags=jnp.zeros((bounces, n), jnp.int32),
+                   nx=z(), ny=z(), nz=z())
 
 
 class PathState(struct.PyTreeNode):
@@ -175,12 +194,19 @@ ONEHOT_MAX_ROWS = 1024
 def gather_rows(mat, idx):
     """Row gather ``mat[idx]`` ([rows, C] by [R] int) the TPU way: one-hot
     matmul (MXU, and its transpose — the backward scatter-add — is another
-    matmul) for small tables, ``jnp.take`` beyond :data:`ONEHOT_MAX_ROWS`."""
+    matmul) for small tables, ``jnp.take`` beyond :data:`ONEHOT_MAX_ROWS`.
+
+    precision=HIGHEST is load-bearing: the TPU's default matmul precision
+    multiplies in bf16, which ROUNDS THE GATHERED VALUES (~4e-3 relative)
+    even though the one-hot factor is exact — measured round 3 as the root
+    cause of the 2.8% megakernel/integrator divergence (the kernel's
+    select-loop gather was the exact one).  HIGHEST makes the one-hot
+    matmul an exact row copy."""
     n = mat.shape[0]
     if n <= ONEHOT_MAX_ROWS:
         onehot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
                   ).astype(mat.dtype)
-        return onehot @ mat
+        return jnp.matmul(onehot, mat, precision=jax.lax.Precision.HIGHEST)
     return jnp.take(mat, idx, axis=0)
 
 
@@ -433,7 +459,10 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
                      | jnp.where(hit.inside, PathTape.FLAG_INSIDE, 0)
                      | jnp.where(f_live, PathTape.FLAG_FLIVE, 0))
             tape = PathTape(prim=tape.prim.at[i].set(hit.prim),
-                            flags=tape.flags.at[i].set(flags))
+                            flags=tape.flags.at[i].set(flags),
+                            nx=tape.nx.at[i].set(hit.normal[:, 0]),
+                            ny=tape.ny.at[i].set(hit.normal[:, 1]),
+                            nz=tape.nz.at[i].set(hit.normal[:, 2]))
 
         if records is not None:
             fr = jnp.where(active & can_refract,
@@ -468,10 +497,10 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         color = jnp.where(hit.found[:, None], color, 0.0)
         extras = []
         if want_tape:
-            tape = PathTape.create(R, recursion + 1)
+            tape = PathTape.create(R, recursion + 1, dtype)
             code = jnp.where(hit.found, BounceType.DEBUG, BounceType.MISSED)
-            extras = [PathTape(prim=tape.prim.at[0].set(hit.prim),
-                               flags=tape.flags.at[0].set(code))]
+            extras = [tape.replace(prim=tape.prim.at[0].set(hit.prim),
+                                   flags=tape.flags.at[0].set(code))]
         if record:
             records = BounceRecords.create(R, recursion + 1, dtype)
             records = records.replace(
@@ -488,7 +517,7 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
 
     records = BounceRecords.create(R, recursion + 1, dtype) if record \
         else None
-    tape = PathTape.create(R, recursion + 1) if want_tape else None
+    tape = PathTape.create(R, recursion + 1, dtype) if want_tape else None
     if early_exit:
         # Most paths terminate well before the recursion cap (emission pick,
         # pure-black, specular fail); stop as soon as the whole wavefront is

@@ -6,31 +6,37 @@ re-runs closest-hit SELECTION (the [rays × prims] scan / Pallas kernel / BVH
 traversal) and reverse-differentiates through the whole body.
 
 But the gradient only needs a tiny tape.  Branch selection is discrete and
-already stop-gradded (see :mod:`..intersect.dispatch`); given the per-bounce
-decisions — winning primitive, interaction branch, inside/Fresnel-live flags
-(everything ``Raytracer.GetColor`` decides by comparison, Raytracer.cs:
-65-246) — the pixel color is a closed-form differentiable function of the
-material table: a product of gathered albedos × ``max(totalLum, 1)`` factors
-ending in an emission term, with Fresnel/shininess/IOR entering through
-[R]-shaped per-ray math.
+already stop-gradded (see :mod:`..intersect.dispatch`), and GEOMETRY is
+stop-gradded too (geometry gradients are out of scope per SURVEY §7) — so
+given the per-bounce decisions (winning primitive, interaction branch,
+inside/Fresnel-live flags — everything ``Raytracer.GetColor`` decides by
+comparison, Raytracer.cs:65-246) plus the hit NORMAL, the pixel color is a
+closed-form differentiable function of the material table: a product of
+gathered albedos × ``max(totalLum, 1)`` factors ending in an emission term,
+with Fresnel/shininess/IOR entering through [R]-shaped per-ray math.
 
 So the train path is:
 
 1. **Record** (stop-grad): one plain forward pass — any closest-hit
-   implementation, including the Pallas kernels or the BVH — that emits a
-   :class:`..render.integrator.PathTape` (int32 ``[bounces, R]`` prim +
-   flags).
-2. **Replay** (differentiable): re-walk the recorded path with [R]-shaped
-   winner re-evaluation and shading math only.  No selection, no
-   [rays × prims] anything; reverse-AD sees a shallow chain of gathers and
-   elementwise ops.
+   implementation, including the Pallas megakernel or the BVH — that emits
+   a :class:`..render.integrator.PathTape` (per-bounce prim + flags + hit
+   normal).
+2. **Replay** (differentiable): re-walk the recorded path with SHADING MATH
+   ONLY.  No selection, no winner re-evaluation, no [rays × prims]
+   anything; reverse-AD sees a shallow chain of one material gather and
+   elementwise ops per bounce.
 
-All row gathers ride the MXU as one-hot matmuls (one packed matrix per
-primitive table), so neither direction issues TPU scatter/gather ops — the
-backward of a one-hot gather is just the transposed matmul.
+Layout: the replay is column-oriented — every quantity is an [R] plane
+(vm.*3 tuple math), never [R, 3] — because TPU tiles the minor dimension
+to 128 lanes, so [R, 3] ops waste 125/128 of the VPU and the resulting
+relayout/fragmentation made the row-shaped replay 3x slower than the FULL
+megakernel forward (xprof, round 3).  The material gather is one
+``[C, N] @ [N, R]`` one-hot matmul per bounce whose outputs are already
+[R] component planes.
 
-``grad(trace_replay)`` equals ``grad(trace)`` for the same key — both
-differentiate the same fixed-decision estimator — which the tests pin.
+``grad(trace_replay)`` equals ``grad(trace)`` for the same key (both
+differentiate the same fixed-decision estimator; the recorded normal is a
+value ``trace`` treats as stop-grad anyway) — which the tests pin.
 """
 
 from __future__ import annotations
@@ -39,135 +45,11 @@ import jax
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
-from ..core.color import luminance
-from ..intersect import jnp_ref
+from ..core.color import LUM_B, LUM_G, LUM_R
 from ..intersect.dispatch import closest_hit
 from ..scene.types import SceneArrays
 from .integrator import (BounceType, PathTape, _material_matrix,
-                         _random_shine, _split_material, gather_rows,
                          prepare_uniforms, trace)
-
-
-def _pack_replay(scene: SceneArrays):
-    """Per-table packed row matrices + the material/row-map matrix.
-
-    Geometry matrices are stop-gradded (geometry gradients are out of scope
-    per SURVEY §7); the material columns stay on the tape.  Row maps (global
-    prim id → row within each table) ride along as float columns of the
-    material matrix so one matmul gathers everything per-prim.
-    """
-    sg = jax.lax.stop_gradient
-    tri, sph, pl = scene.triangles, scene.spheres, scene.planes
-    mats = scene.materials
-    n = max(scene.n_prims, 1)
-
-    def inv_map(prim_id):
-        rows = jnp.arange(prim_id.shape[0], dtype=jnp.int32)
-        idx = jnp.where(prim_id >= 0, prim_id, n)  # padding rows → dropped
-        return jnp.zeros((n,), jnp.int32).at[idx].set(rows, mode="drop")
-
-    table = jnp.zeros((n,), jnp.int32)
-    for tid, prim_id in ((1, sph.prim_id), (2, pl.prim_id)):
-        idx = jnp.where(prim_id >= 0, prim_id, n)
-        table = table.at[idx].set(tid, mode="drop")
-
-    f = lambda x: x.astype(tri.v0.dtype)[:, None]
-    # [N, 19]: materials (14, differentiable) + invert, table, rows (sg).
-    matm = jnp.concatenate([
-        _material_matrix(mats),
-        sg(jnp.concatenate([f(mats.invert), f(table),
-                            f(inv_map(tri.prim_id)), f(inv_map(sph.prim_id)),
-                            f(inv_map(pl.prim_id))], axis=1))], axis=1)
-
-    # [T, 23]: v0 e1 e2 normal n0 n1 n2 (×3), mirror, smooth.
-    tfm = sg(jnp.concatenate([
-        tri.v0, tri.e1, tri.e2, tri.normal, tri.n0, tri.n1, tri.n2,
-        f(tri.mirror), f(tri.smooth)], axis=1))
-    # [S, 38]: w2o 3x4, o2w 3x4, center, radius, normal_mat 3x3, transformed.
-    S = sph.radius.shape[0]
-    sfm = sg(jnp.concatenate([
-        sph.world_to_obj[:, :3, :].reshape(S, 12),
-        sph.obj_to_world[:, :3, :].reshape(S, 12),
-        sph.center, sph.radius[:, None],
-        sph.normal_mat.reshape(S, 9), f(sph.transformed)], axis=1))
-    # [P, 4]: normal, origin_dist.
-    pfm = sg(jnp.concatenate([pl.normal, pl.origin_dist[:, None]], axis=1))
-    return matm, tfm, sfm, pfm
-
-
-def _tri_eval(trow, o, d, eps_behind):
-    """Triangle position/normal on gathered rows ([R, 23]) — the [R]-shaped
-    twin of dispatch's winner evaluation (Möller–Trumbore +
-    Triangle.GetNormal, Triangle.cs:148-224)."""
-    v0, e1, e2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
-    face_n = trow[:, 9:12]
-    mirror = trow[:, 21] != 0
-    smooth = trow[:, 22] != 0
-    mt = jnp_ref.moller_trumbore(o, d, v0, e1, e2, face_n, mirror,
-                                 jnp.ones(o.shape[0], bool), eps_behind)
-    u, v = mt["u"], mt["v"]
-    inside_geo = mt["inside"]
-    position = v0 + e1 * u[:, None] + e2 * v[:, None]
-
-    n_interp = (trow[:, 12:15] * u[:, None] + trow[:, 15:18] * v[:, None]
-                + trow[:, 18:21] * (u + v)[:, None])
-    n_interp = vm.normalize(n_interp, eps=1e-30)
-    n_interp_in = n_interp - face_n * (
-        2.0 * vm.vdot(n_interp, face_n)
-        / jnp.maximum(vm.vdot(face_n, face_n), 1e-30))
-    n_smooth = jnp.where(inside_geo[:, None], n_interp_in, n_interp)
-    n_flat = jnp.where(inside_geo[:, None], -face_n, face_n)
-    normal = jnp.where(smooth[:, None], n_smooth, n_flat)
-    return position, normal
-
-
-def _sph_eval(srow, o, d, use_near):
-    """Sphere position/normal on gathered rows ([R, 38]) with the recorded
-    near/far root choice (Sphere.DoRayTrace/GetHit, Sphere.cs:156-209)."""
-    w2o = srow[:, 0:12].reshape(-1, 3, 4)
-    o2w = srow[:, 12:24].reshape(-1, 3, 4)
-    center, radius = srow[:, 24:27], srow[:, 27]
-    nmat = srow[:, 28:37].reshape(-1, 3, 3)
-    transformed = srow[:, 37] != 0
-
-    o_obj = jnp.einsum("rij,rj->ri", w2o[:, :, :3], o) + w2o[:, :, 3]
-    d_obj = jnp.einsum("rij,rj->ri", w2o[:, :, :3], d)
-    d_obj = d_obj / vm.safe_sqrt(jnp.sum(d_obj * d_obj, axis=-1))[:, None]
-
-    offset = o_obj - center
-    b = -2.0 * jnp.sum(offset * d_obj, axis=-1)
-    c = jnp.sum(offset * offset, axis=-1) - radius ** 2
-    disc = b * b - 4.0 * c
-    radix = jnp.sqrt(jnp.maximum(jnp.where(disc >= 0, disc, 1.0), 1e-20))
-    t_obj = jnp.where(use_near, (b - radix) / 2.0, (b + radix) / 2.0)
-    inside_geo = ~use_near
-
-    pos_obj = o_obj + d_obj * t_obj[:, None]
-    n_obj = (pos_obj - center) / jnp.maximum(radius, 1e-30)[:, None]
-    pos_w = jnp.einsum("rij,rj->ri", o2w[:, :, :3], pos_obj) + o2w[:, :, 3]
-    n_w = vm.normalize(jnp.einsum("rij,rj->ri", nmat, n_obj), eps=1e-30)
-
-    position = jnp.where(transformed[:, None], pos_w, pos_obj)
-    normal = jnp.where(transformed[:, None], n_w, n_obj)
-    normal = jnp.where(inside_geo[:, None], -normal, normal)
-    return position, normal
-
-
-def _pl_eval(prow, o, d, eps_behind):
-    """Plane position/normal on gathered rows ([R, 4]; Plane.cs:36-66)."""
-    n, dist0 = prow[:, 0:3], prow[:, 3]
-    ray_dist = jnp.sum(o * n, axis=-1)
-    denom = jnp.sum(d * n, axis=-1)
-    coplanar = (denom == 0) & (jnp.abs(dist0 - ray_dist)
-                               <= eps_behind * (1.0 + jnp.abs(dist0)))
-    t = jnp.where(denom != 0,
-                  (dist0 - ray_dist) / jnp.where(denom == 0, 1.0, denom),
-                  0.0)
-    t = jnp.where(coplanar, 0.0, jnp.abs(t))
-    inside_geo = jnp.where(coplanar, True, denom > 0)
-    position = o + d * t[:, None]
-    normal = jnp.where(inside_geo[:, None], -n, n)
-    return position, normal
 
 
 def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
@@ -175,8 +57,9 @@ def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
     """Differentiable re-walk of a recorded path.
 
     Same (color, miss) contract and shading semantics as
-    :func:`..render.integrator.trace`, but every discrete decision comes from
-    ``tape`` instead of comparisons, so the whole function is [R]-shaped.
+    :func:`..render.integrator.trace`, but every discrete decision and every
+    geometric quantity comes from ``tape`` instead of intersection, so the
+    whole function is [R]-planes of shading math.
 
     ``remat``: rematerialize each bounce in the backward (checkpoint).  Off,
     reverse-AD saves every bounce's intermediates — more HBM, no recompute.
@@ -184,58 +67,62 @@ def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
     R = ray_o.shape[0]
     dtype = ray_o.dtype
     recursion = scene.recursion
-    ambient = scene.ambient_rgb.astype(dtype)
+    ambient = tuple(scene.ambient_rgb.astype(dtype))
     air = scene.air_refractive_index.astype(dtype)
-    eps_behind = vm.near_enough(dtype)
-    matm, tfm, sfm, pfm = _pack_replay(scene)
+
+    # [C, N] so the one-hot gather ([C, N] @ [N, R]) emits component planes.
+    matm_T = _material_matrix(scene.materials).T.astype(dtype)
+    n = matm_T.shape[1]
+    row_ids = jnp.arange(n, dtype=jnp.int32)
 
     def body(i, carry):
-        o, d, tint, result, miss = carry
-        # Periodic renormalization — must match trace (Raytracer.cs:74-75).
-        d = jnp.where(i % 3 == 0, vm.normalize(d), d)
+        d, tint, result, miss = carry
+
+        # Periodic renormalization — must match trace (Raytracer.cs:74-75),
+        # including its divide (a/len, not a·rsqrt).
+        len_d = jnp.sqrt(vm.dot3(d, d))
+        d = vm.where3(i % 3 == 0,
+                      (d[0] / len_d, d[1] / len_d, d[2] / len_d), d)
 
         prim = tape.prim[i]
         flags = tape.flags[i]
         code = flags & PathTape.CODE_MASK
         inside = (flags & PathTape.FLAG_INSIDE) != 0
         f_live = (flags & PathTape.FLAG_FLIVE) != 0
-        safe_prim = jnp.maximum(prim, 0)
+        normal = (tape.nx[i], tape.ny[i], tape.nz[i])
 
-        # One matmul gathers materials + invert/table/row columns.
-        g = gather_rows(matm, safe_prim)
-        mat = _split_material(g)
-        emission = mat["emission"]
-        invert_p = g[:, 14] != 0
-        table = g[:, 15].astype(jnp.int32)
-        rows = g[:, 16:19].astype(jnp.int32)
-
-        # --- differentiable winner re-evaluation (phase 2 of dispatch) ---
-        tri_pos, tri_nrm = _tri_eval(gather_rows(tfm, rows[:, 0]), o, d,
-                                     eps_behind)
-        # For spheres: inside_geo = inside XOR invert; near root ⇔ outside.
-        use_near = ~jnp.logical_xor(inside, invert_p)
-        sph_pos, sph_nrm = _sph_eval(gather_rows(sfm, rows[:, 1]), o, d,
-                                     use_near)
-        pl_pos, pl_nrm = _pl_eval(gather_rows(pfm, rows[:, 2]), o, d,
-                                  eps_behind)
-
-        c0, c1 = (table == 0)[:, None], (table == 1)[:, None]
-        position = jnp.where(c0, tri_pos, jnp.where(c1, sph_pos, pl_pos))
-        normal = jnp.where(c0, tri_nrm, jnp.where(c1, sph_nrm, pl_nrm))
+        # One [C, N] @ [N, R] matmul gathers every material column.
+        # precision=HIGHEST: the TPU default matmul rounds the gathered
+        # values to bf16 (see integrator.gather_rows) — HIGHEST makes the
+        # one-hot matmul an exact row copy.
+        onehot_T = (row_ids[:, None] == jnp.maximum(prim, 0)[None, :]
+                    ).astype(dtype)
+        g = jnp.matmul(matm_T, onehot_T,          # [C, R] component planes
+                       precision=jax.lax.Precision.HIGHEST)
+        emission = (g[0], g[1], g[2])
+        diffuse = (g[3], g[4], g[5])
+        specular = (g[6], g[7], g[8])
+        refraction = (g[9], g[10], g[11])
+        ior = g[12]
+        shininess = g[13]
 
         u = uniforms[i]
 
         # --- shading math, decisions pinned by the tape -------------------
-        rough_n = _random_shine(u[0], u[1], u[2], normal, mat["shininess"])
-        cos = -vm.dot(rough_n, d)
+        # RandomShine (Raytracer.cs:51-56): z = exp(ln U / shininess).
+        z_shine = jnp.where(jnp.isinf(shininess), 1.0,
+                            jnp.exp(u[0] / shininess))
+        rough_n = vm.create_horizon3_cs(normal, z_shine, u[1], u[2])
+        cos = -vm.dot3(rough_n, d)
 
-        diff_lum = luminance(mat["diffuse"])
-        spec_lum = luminance(mat["specular"])
-        refr_lum = luminance(mat["refraction"])
-        emis_lum = luminance(emission)
+        lum = lambda c: LUM_R * c[0] + LUM_G * c[1] + LUM_B * c[2]
+        diff_lum = lum(diffuse)
+        spec_lum = lum(specular)
+        refr_lum = lum(refraction)
+        emis_lum = lum(emission)
 
-        ior_in = jnp.where(inside, mat["ior"], air)
-        ior_out = jnp.where(inside, air, mat["ior"])
+        ior_in = jnp.where(inside, ior, air)
+        ior_out = jnp.where(inside, air, ior)
         safe_out = jnp.where(ior_out == 0, 1.0, ior_out)
         ior_ratio = ior_in / safe_out
         sin_out = ior_ratio * vm.safe_sqrt(1.0 - cos * cos)
@@ -254,56 +141,57 @@ def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
         total_lum = diff_lum + spec_lum + refr_lum + emis_lum
 
         # --- outcomes ------------------------------------------------------
-        te = tint * emission
+        te = (tint[0] * emission[0], tint[1] * emission[1],
+              tint[2] * emission[2])
         terminal = ((code == BounceType.EMISSION)
                     | (code == BounceType.SPECULAR_FAIL)
                     | (code == BounceType.PURE_BLACK)
                     | (code == BounceType.RECURSION_COMPLETE))
-        result = jnp.where(terminal[:, None], te, result)
+        result = vm.where3(terminal, te, result)
 
         is_miss = code == BounceType.MISSED
         if scene.ambient_is_miss:
             miss = miss | is_miss
         else:
             miss = miss | (is_miss & (i == 0))
-            result = jnp.where((is_miss & (i != 0))[:, None], ambient,
-                               result)
+            result = vm.where3(is_miss & (i != 0), ambient, result)
 
         pick_refr = code == BounceType.TRANSMITTED
         pick_spec = code == BounceType.SPECULAR
         pick_diff = code == BounceType.DIFFUSE
         bounced = pick_refr | pick_spec | pick_diff
 
-        refr_dir = (rough_n * (-cos_out)[:, None]
-                    + (d + rough_n * cos[:, None]) * ior_ratio[:, None])
-        refr_tint = jnp.where(inside[:, None],
-                              jnp.ones_like(mat["refraction"]),
-                              mat["refraction"])
-        spec_dir = vm.reflect(rough_n, d, cos)
-        diff_dir = vm.create_horizon_cs(normal, u[4], u[5], u[6])
+        refr_dir = tuple(
+            rough_n[k] * (-cos_out) + (d[k] + rough_n[k] * cos) * ior_ratio
+            for k in range(3))
+        one = jnp.ones_like(cos)
+        refr_tint = vm.where3(inside, (one, one, one), refraction)
+        spec_dir = vm.reflect3(rough_n, d, cos)
+        diff_dir = vm.create_horizon3_cs(normal, u[4], u[5], u[6])
 
-        out_dir = jnp.where(pick_refr[:, None], refr_dir,
-                            jnp.where(pick_spec[:, None], spec_dir,
-                                      diff_dir))
-        new_tint = jnp.where(pick_refr[:, None], refr_tint,
-                             jnp.where(pick_spec[:, None], mat["specular"],
-                                       mat["diffuse"]))
-        new_tint = new_tint * jnp.maximum(total_lum, 1.0)[:, None]
+        out_dir = vm.where3(pick_refr, refr_dir,
+                            vm.where3(pick_spec, spec_dir, diff_dir))
+        new_tint = vm.where3(pick_refr, refr_tint,
+                             vm.where3(pick_spec, specular, diffuse))
+        comp = jnp.maximum(total_lum, 1.0)
+        new_tint = vm.scale3(new_tint, comp)
 
-        sel = bounced[:, None]
-        o = jnp.where(sel, position, o)
-        d = jnp.where(sel, out_dir, d)
-        tint = jnp.where(sel, tint * new_tint, tint)
-        return o, d, tint, result, miss
+        d = vm.where3(bounced, out_dir, d)
+        tint = vm.where3(bounced,
+                         (tint[0] * new_tint[0], tint[1] * new_tint[1],
+                          tint[2] * new_tint[2]), tint)
+        return d, tint, result, miss
 
-    init = (ray_o, ray_d, jnp.ones((R, 3), dtype),
-            jnp.zeros((R, 3), dtype), jnp.zeros((R,), bool))
-    # Per-bounce remat: residuals stay a handful of [R] arrays; recomputing
-    # a replay bounce is pure elementwise + one-hot matmuls.
+    one_r = jnp.ones((R,), dtype)
+    zero_r = jnp.zeros((R,), dtype)
+    init = (vm.unstack3(ray_d), (one_r, one_r, one_r),
+            (zero_r, zero_r, zero_r), jnp.zeros((R,), bool))
+    # Per-bounce remat: residuals stay a handful of [R] planes; recomputing
+    # a replay bounce is pure elementwise + one one-hot matmul.
     body_fn = jax.checkpoint(body, prevent_cse=False) if remat else body
-    _, _, _, result, miss = jax.lax.fori_loop(0, recursion + 1, body_fn,
+    d, tint, result, miss = jax.lax.fori_loop(0, recursion + 1, body_fn,
                                               init)
-    return result, miss
+    return vm.stack3(*result), miss
 
 
 def record_tape(scene: SceneArrays, ray_o, ray_d, uniforms,
@@ -316,6 +204,27 @@ def record_tape(scene: SceneArrays, ray_o, ray_d, uniforms,
     _, _, tape = trace(scene_sg, sg(ray_o), sg(ray_d), None,
                        closest_fn=closest_fn, uniforms=sg(uniforms),
                        want_tape=True)
+    return jax.tree.map(sg, tape)
+
+
+def record_tape_fused(scene: SceneArrays, ray_o, ray_d, uniforms):
+    """Stop-grad recording pass through the whole-path megakernel
+    (:func:`..render.fused.trace_fused` with ``want_tape=True``): the
+    tape is emitted from inside the kernel, so recording costs one
+    megakernel pass instead of per-bounce HBM round trips.
+
+    The kernel computes in f32 regardless of the scene dtype (trace_fused
+    casts rays/tables down), so for f64 scenes the recorded branch/prim
+    picks are sampled at f32 precision — still self-consistent with the
+    replay, but not the picks ``record_tape`` would make.
+    :func:`trace_replay`'s auto choice therefore only routes f32 scenes
+    here."""
+    from . import fused
+
+    sg = jax.lax.stop_gradient
+    scene_sg = jax.tree.map(sg, scene)
+    _, _, tape = fused.trace_fused(scene_sg, sg(ray_o), sg(ray_d), None,
+                                   uniforms=sg(uniforms), want_tape=True)
     return jax.tree.map(sg, tape)
 
 
@@ -334,30 +243,20 @@ def _default_record_fn(scene: SceneArrays, closest_fn):
     return closest_fn
 
 
-def record_tape_fused(scene: SceneArrays, ray_o, ray_d, uniforms):
-    """Stop-grad recording pass through the whole-path megakernel
-    (:func:`..render.fused.trace_fused` with ``want_tape=True``): the
-    tape is emitted from inside the kernel, so recording costs one
-    megakernel pass instead of per-bounce HBM round trips."""
-    from . import fused
-
-    sg = jax.lax.stop_gradient
-    scene_sg = jax.tree.map(sg, scene)
-    _, _, tape = fused.trace_fused(scene_sg, sg(ray_o), sg(ray_d), None,
-                                   uniforms=sg(uniforms), want_tape=True)
-    return jax.tree.map(sg, tape)
-
-
 def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
                  closest_fn=closest_hit, record_fused=None):
     """Drop-in for :func:`..render.integrator.trace` on the TRAIN path:
-    identical (color, miss) estimator and gradients, ~selection-free
-    backward.  Forward-only rendering should keep using ``trace`` (or the
-    fused megakernel) — the tape write is pure overhead there.
+    same estimator, ~selection-free backward.  With ``record_fused=False``
+    the (color, miss) values and gradients are bit-identical to ``trace``
+    for the same key (tested); with the fused recorder (the TPU default
+    below) the estimator is self-consistent but knife-edge Mosaic/XLA
+    branch-pick divergence means it is not bit-identical to ``trace``.
+    Forward-only rendering should keep using ``trace`` (or the fused
+    megakernel) — the tape write is pure overhead there.
 
     ``record_fused``: route the recording pass through the megakernel
     (:func:`record_tape_fused`).  Default ``None`` = auto: on TPU, for
-    kernel-sized scenes, when the caller didn't pick a ``closest_fn``.
+    kernel-sized f32 scenes, when the caller didn't pick a ``closest_fn``.
     Knife-edge branch picks can differ between Mosaic and XLA arithmetic
     for a tiny fraction of rays; the tape stays self-consistent (it is the
     path the megakernel itself sampled), so the estimator is unchanged.
@@ -371,7 +270,11 @@ def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
         from . import fused
         record_fused = (closest_fn is closest_hit
                         and jax.default_backend() == "tpu"
-                        and fused.fits(scene))
+                        and fused.fits(scene)
+                        # f64 scenes keep the XLA recorder: the kernel
+                        # samples paths at f32 precision (see
+                        # record_tape_fused).
+                        and ray_o.dtype == jnp.float32)
     if record_fused:
         tape = record_tape_fused(scene, ray_o, ray_d, uniforms)
     else:

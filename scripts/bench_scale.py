@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--recursion", type=int, default=4)
     ap.add_argument("--passes", type=int, default=4)
-    ap.add_argument("--leaf-size", type=int, default=4)
+    ap.add_argument("--leaf-size", type=int, default=0,
+                    help="0 = auto: grow leaves until the packed node "
+                         "table fits the Pallas traversal's VMEM budget")
     ap.add_argument("--check", action="store_true",
                     help="compare BVH hits vs dense scan on sample rays "
                          "(small scenes only)")
@@ -63,9 +65,11 @@ def main():
     log(f"scene: {n_tris} triangles in {t_gen:.2f}s "
         f"(native builder available: {native_available()})")
 
+    from raytracercore_tpu.bvh.builder import auto_leaf_size
+    leaf = args.leaf_size or auto_leaf_size(n_tris)
+    log(f"leaf size: {leaf}" + (" (auto)" if not args.leaf_size else ""))
     t0 = time.perf_counter()
-    bvh = build_triangle_bvh(v0, e1, e2, mirror, valid,
-                             leaf_size=args.leaf_size)
+    bvh = build_triangle_bvh(v0, e1, e2, mirror, valid, leaf_size=leaf)
     t_build = time.perf_counter() - t0
     log(f"bvh: {bvh.n_nodes} nodes, {bvh.leaf_prims.shape[0]} leaves "
         f"in {t_build:.2f}s")

@@ -94,6 +94,30 @@ def test_train_step_sharded_matches_single(small_setup):
                                    atol=1e-6)
 
 
+def test_prims_sharded_matches_single_device(small_setup):
+    """The prims mesh axis: triangle table sharded 4 ways × rays 2 ways,
+    per-bounce closest hit min-reduced across devices — must reproduce the
+    single-device render exactly (same key ⇒ same paths)."""
+    from raytracercore_tpu.parallel.shard import (
+        make_prims_sharded_render_pass, pad_triangles_for_prims)
+
+    scene, arrays, camera = small_setup
+    mesh = make_mesh(n_rays=2, n_prims=4)
+
+    key = jax.random.PRNGKey(11)
+    ref = render_pass(arrays, camera, Film.create(16, 16), key)
+
+    padded = pad_triangles_for_prims(arrays, 4)
+    assert padded.triangles.v0.shape[0] % 4 == 0
+    rp = make_prims_sharded_render_pass(mesh)
+    got = rp(padded, camera, Film.create(16, 16), key)
+
+    np.testing.assert_allclose(np.asarray(got.color_sum),
+                               np.asarray(ref.color_sum), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.misses),
+                                  np.asarray(ref.misses))
+
+
 def test_graft_entry_dryrun():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
