@@ -120,40 +120,41 @@ def _build(idx, bmin, bmax, centers, leaf_size, n_bins=16):
                  right=_build(r_idx, bmin, bmax, centers, leaf_size))
 
 
-def build_triangle_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-                       mirror: np.ndarray, valid: np.ndarray,
-                       leaf_size: int = 4, dtype=jnp.float32,
-                       backend: str = "auto") -> BVHArrays:
-    """Build a skip-link BVH over the valid rows of a triangle table.
+def build_boxes_bvh(bmin: np.ndarray, bmax: np.ndarray, valid: np.ndarray,
+                    leaf_size: int = 4, dtype=jnp.float32,
+                    backend: str = "auto") -> BVHArrays:
+    """Build a skip-link BVH over arbitrary per-row AABBs.
+
+    Generic core shared by the triangle and sphere builders (the reference
+    bounds every primitive type through IBoundedObject, Scene.cs:39-49);
+    ``leaf_prims`` index the rows of the given box arrays.
 
     ``backend``: "numpy" (the reference implementation below), "native"
     (the C++ builder in ../native — same layout, built for million-triangle
     scenes), or "auto" (native when available and worthwhile).
     """
-    tri_idx = np.nonzero(valid)[0]
-    if len(tri_idx) == 0:
+    row_idx = np.nonzero(valid)[0]
+    if len(row_idx) == 0:
         return BVHArrays(
             bmin=jnp.zeros((1, 3), dtype), bmax=jnp.zeros((1, 3), dtype),
             skip=jnp.array([1], jnp.int32),
             leaf_slot=jnp.array([-1], jnp.int32),
             leaf_prims=jnp.full((1, leaf_size), -1, jnp.int32))
 
-    bmin, bmax = triangle_bounds(v0, e1, e2, mirror)
-
     if backend != "numpy":
         from ..native import build_bvh_native
 
-        use_native = backend == "native" or len(tri_idx) >= 4096
+        use_native = backend == "native" or len(row_idx) >= 4096
         if use_native:
             out = build_bvh_native(
-                np.asarray(bmin[tri_idx], np.float32),
-                np.asarray(bmax[tri_idx], np.float32), leaf_size)
+                np.asarray(bmin[row_idx], np.float32),
+                np.asarray(bmax[row_idx], np.float32), leaf_size)
             if out is not None:
                 nb_min, nb_max, skip, slot, prims = out
                 # Leaf entries index the valid subset — map back to table
                 # rows.
                 mapped = np.where(prims >= 0,
-                                  tri_idx[np.maximum(prims, 0)], -1)
+                                  row_idx[np.maximum(prims, 0)], -1)
                 return BVHArrays(
                     bmin=jnp.asarray(nb_min, dtype),
                     bmax=jnp.asarray(nb_max, dtype),
@@ -164,7 +165,7 @@ def build_triangle_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                 raise RuntimeError("native BVH builder unavailable")
 
     centers = (bmin + bmax) / 2.0
-    root = _build(tri_idx, bmin, bmax, centers, leaf_size)
+    root = _build(row_idx, bmin, bmax, centers, leaf_size)
 
     # Preorder flatten with escape links.
     nodes_bmin, nodes_bmax, skips, leaf_slots = [], [], [], []
@@ -190,7 +191,7 @@ def build_triangle_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
 
     import sys
     old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 10000 + 2 * len(tri_idx)))
+    sys.setrecursionlimit(max(old_limit, 10000 + 2 * len(row_idx)))
     try:
         emit(root)
     finally:
@@ -205,18 +206,45 @@ def build_triangle_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     )
 
 
+def build_triangle_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                       mirror: np.ndarray, valid: np.ndarray,
+                       leaf_size: int = 4, dtype=jnp.float32,
+                       backend: str = "auto") -> BVHArrays:
+    """Build a skip-link BVH over the valid rows of a triangle table."""
+    bmin, bmax = triangle_bounds(v0, e1, e2, mirror)
+    return build_boxes_bvh(bmin, bmax, valid, leaf_size, dtype, backend)
+
+
+def sphere_bounds(center: np.ndarray, radius: np.ndarray):
+    """AABBs of untransformed spheres: center ± radius (the reference's
+    GetMaxCenterDistance sampling degenerates to this for plain spheres,
+    Sphere.cs:220-232 / AABB.cs:22-36)."""
+    r = radius[:, None]
+    return center - r, center + r
+
+
+def build_sphere_bvh(center: np.ndarray, radius: np.ndarray,
+                     valid: np.ndarray, leaf_size: int = 8,
+                     dtype=jnp.float32, backend: str = "auto") -> BVHArrays:
+    """Skip-link BVH over untransformed spheres (leaf_prims = sphere-table
+    rows).  Transformed spheres (ellipsoids) stay on the dense path — the
+    kernel's leaf test is the plain-sphere quadratic."""
+    bmin, bmax = sphere_bounds(center, radius)
+    return build_boxes_bvh(bmin, bmax, valid, leaf_size, dtype, backend)
+
+
 def auto_leaf_size(n_tris: int, requested: int = 4,
                    vmem_budget_bytes: int = 12 * 2 ** 20) -> int:
     """Smallest leaf size ≥ ``requested`` whose packed node table fits the
     Pallas traversal's VMEM budget (pallas_traverse.PallasBVH keeps the
-    whole [N, 8] f32 node table on-core; nodes ≈ 2·ceil(T/leaf), halving
+    whole [N, 4] i32 node table on-core; nodes ≈ 2·ceil(T/leaf), halving
     per leaf-size doubling).  Keeps the flagship kernel reachable at 1M
     triangles instead of silently falling back to the XLA walk
     (VERDICT r2 missing #1)."""
     leaf = max(int(requested), 1)
     while leaf < 1024:
         est_nodes = 2 * -(-n_tris // leaf) + 1
-        if est_nodes * 8 * 4 <= vmem_budget_bytes:
+        if est_nodes * 4 * 4 <= vmem_budget_bytes:
             return leaf
         leaf *= 2
     return leaf

@@ -42,6 +42,7 @@ from .builder import BVHArrays
 BLOCK = 1024           # rays per grid program, shaped (8, 128)
 LANES = (8, 128)
 TRI_F = 16             # packed floats per leaf triangle (see pack_leaf_tris)
+SPH_F = 8              # packed floats per leaf sphere (see pack_leaf_spheres)
 NEG = -1.0
 
 
@@ -53,6 +54,50 @@ def pack_nodes(bvh: BVHArrays) -> np.ndarray:
     out[:, 3:6] = np.asarray(bvh.bmax)
     out[:, 6] = np.asarray(bvh.skip).astype(np.float32)
     out[:, 7] = np.asarray(bvh.leaf_slot).astype(np.float32)
+    return out
+
+
+def _bf16_down(v: np.ndarray) -> np.ndarray:
+    """A bf16-representable f32 ≤ v (pad by > 1 bf16 ulp, then truncate —
+    robust across signs and zero crossings; enlarges boxes ≤ ~1%)."""
+    v = np.asarray(v, np.float32)
+    pad = np.abs(v) * np.float32(2 ** -7) + np.float32(1e-30)
+    t = ((v - pad).view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    assert (t <= v).all()
+    return t
+
+
+def _bf16_up(v: np.ndarray) -> np.ndarray:
+    return -_bf16_down(-np.asarray(v))
+
+
+def pack_nodes4(bvh: BVHArrays) -> np.ndarray:
+    """Compact [N, 4] i32 node table — HALF the scalar loads per walked
+    node, the measured bottleneck of the traversal loop (~17 ns per scalar
+    VMEM load on v5e; 8 loads/node dominated the old iteration):
+
+      w0..w2: per-axis box slab packed as two bf16 halves of one i32 word
+              (hi = bmin rounded DOWN, lo = bmax rounded UP — conservative,
+              so culling stays exact);
+      w3:     internal node → skip link; leaf → -(slot + 1).  A leaf's
+              preorder escape is always p+1, so one signed word carries
+              both fields exactly.
+    """
+    bmin = np.asarray(bvh.bmin, np.float32)
+    bmax = np.asarray(bvh.bmax, np.float32)
+    lo = _bf16_down(bmin)
+    hi = _bf16_up(bmax)
+    assert (lo <= bmin).all() and (hi >= bmax).all()
+    lo_b = lo.view(np.uint32)
+    hi_b = hi.view(np.uint32)
+    skip = np.asarray(bvh.skip, np.int64)
+    slot = np.asarray(bvh.leaf_slot, np.int64)
+    w3 = np.where(slot >= 0, -(slot + 1), skip).astype(np.int32)
+    out = np.zeros((bvh.n_nodes, 4), np.int32)
+    for a in range(3):
+        out[:, a] = ((lo_b[:, a] & 0xFFFF0000)
+                     | (hi_b[:, a] >> 16)).astype(np.uint32).view(np.int32)
+    out[:, 3] = w3
     return out
 
 
@@ -94,11 +139,43 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
     return out.reshape(L, K_pad * TRI_F)
 
 
+def pack_leaf_spheres(bvh: BVHArrays, sph, mats) -> np.ndarray:
+    """[L, K*SPH_F] f32 leaf-sphere blocks, DMA-ready.
+
+    Per-sphere layout (SPH_F floats):
+      center(3), radius, row, invert, two_sided, pad
+    Empty slots have row = -1.  Only untransformed spheres belong here
+    (build_sphere_bvh); the kernel test is the plain quadratic.
+    """
+    leaf_prims = np.asarray(bvh.leaf_prims)
+    L, K = leaf_prims.shape
+    center = np.asarray(sph.center, np.float32)
+    radius = np.asarray(sph.radius, np.float32)
+    prim_id = np.asarray(sph.prim_id)
+    invert = np.asarray(mats.invert)
+    two_sided = np.asarray(mats.two_sided)
+
+    # Lane-align DMA rows: 16 * SPH_F = 128 floats.
+    K_pad = -(-K // 16) * 16
+    out = np.zeros((L, K_pad, SPH_F), np.float32)
+    out[..., 4] = -1.0
+    rows = np.maximum(leaf_prims, 0)
+    valid = leaf_prims >= 0
+    out[:, :K, 0:3] = center[rows]
+    out[:, :K, 3] = radius[rows]
+    out[:, :K, 4] = np.where(valid, leaf_prims, -1).astype(np.float32)
+    pid = np.maximum(prim_id[rows], 0)
+    out[:, :K, 5] = (invert[pid] & valid).astype(np.float32)
+    out[:, :K, 6] = (two_sided[pid] | ~valid).astype(np.float32)
+    return out.reshape(L, K_pad * SPH_F)
+
+
 def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
                      sk_row, sk_px, sk_py, sk_pz, sk_leaving, sk_inside,
                      sk_scale, out_row, out_t,
                      leaf_vmem, best_t_ref, best_row_ref, sem,
-                     *, n_nodes, K, eps_behind, eps_pos):
+                     *, n_nodes, K, eps_behind, eps_pos,
+                     leaf_resident=False, leaf_kind="tri"):
     o_x = ox[:].reshape(LANES)
     o_y = oy[:].reshape(LANES)
     o_z = oz[:].reshape(LANES)
@@ -190,44 +267,196 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         ok = ok & ~match
         return ok, tt, row
 
-    def body(p):
-        m = lambda c: nodes_ref[p, c]
-        near, far = slab(m(0), m(1), m(2), m(3), m(4), m(5))
-        hit = (near <= far) & (far >= -eps_behind) & (near <= best_t_ref[:])
-        anyhit = jnp.any(hit)
-        skip_to = m(6)
-        slot = m(7)
-        is_leaf = slot >= 0
+    def sph_test(m):
+        """One packed untransformed sphere (scalar reads via m(col)) vs
+        all lanes: the quadratic of Sphere.DoRayTrace (Sphere.cs:175-209)
+        with both roots, two-sided/invert filtering and the skip-hit rule
+        applied per root, preferring the near root (the reference's
+        ordered candidate scan)."""
+        cx, cy, cz, r = m(0), m(1), m(2), m(3)
+        row = m(4)
+        inv_f = m(5) != 0
+        two_s = m(6) != 0
 
-        @pl.when(anyhit & is_leaf)
-        def _leaf():
-            cp = pltpu.make_async_copy(
-                leaf_hbm.at[pl.ds(slot.astype(jnp.int32), 1), :],
-                leaf_vmem, sem)
-            cp.start()
-            cp.wait()
-            for k in range(K):
-                ok, tt, row = tri_test(
-                    lambda c, k=k: leaf_vmem[0, k * TRI_F + c])
-                better = ok & (tt < best_t_ref[:])
-                best_t_ref[:] = jnp.where(better, tt, best_t_ref[:])
-                best_row_ref[:] = jnp.where(better, row, best_row_ref[:])
+        fx, fy, fz = o_x - cx, o_y - cy, o_z - cz
+        b = -2.0 * (fx * d_x + fy * d_y + fz * d_z)
+        cq = fx * fx + fy * fy + fz * fz - r * r
+        disc = b * b - 4.0 * cq
+        has = disc >= 0
+        radix = jnp.sqrt(jnp.where(has, disc, 0.0))
+        any_hit = has & (radix >= -b) & (row >= 0)
+        both = radix < b
+        t_near = (b - radix) * 0.5
+        t_far = (b + radix) * 0.5
+        inside_near = inv_f          # geometric False ^ invert
+        inside_far = jnp.logical_not(inv_f)
 
-        descend = anyhit & jnp.logical_not(is_leaf)
-        return jnp.where(descend, (p + 1).astype(jnp.float32),
-                         skip_to).astype(jnp.int32)
+        def skipm(t, inside):
+            hx = o_x + d_x * t
+            hy = o_y + d_y * t
+            hz = o_z + d_z * t
+            d2 = (hx - k_px) ** 2 + (hy - k_py) ** 2 + (hz - k_pz) ** 2
+            pos_close = d2 <= (eps_pos * eps_pos) * k_scale
+            parity = jnp.logical_xor(k_leaving, inside == k_inside)
+            return (k_row == row) & (k_row >= 0) & pos_close & parity
 
-    jax.lax.while_loop(lambda p: p < n_nodes, body, jnp.int32(0))
+        near_ok = (any_hit & both & (two_s | jnp.logical_not(inside_near))
+                   & ~skipm(t_near, inside_near))
+        far_ok = (any_hit & (two_s | jnp.logical_not(inside_far))
+                  & ~skipm(t_far, inside_far))
+        ok = near_ok | far_ok
+        tt = jnp.where(near_ok, t_near, t_far)
+        return ok, tt, row
+
+    rec_f = TRI_F if leaf_kind == "tri" else SPH_F
+    leaf_test = tri_test if leaf_kind == "tri" else sph_test
+
+    def process(b):
+        """Test the K records staged in leaf_vmem[b] (static b)."""
+        for k in range(K):
+            ok, tt, row = leaf_test(
+                lambda c, k=k: leaf_vmem[b, k * rec_f + c])
+            better = ok & (tt < best_t_ref[:])
+            best_t_ref[:] = jnp.where(better, tt, best_t_ref[:])
+            best_row_ref[:] = jnp.where(better, row, best_row_ref[:])
+
+    def node_fields(p):
+        """Decode one [N, 4]-packed node (pack_nodes4): conservative
+        bf16-pair box + signed skip/slot word — 4 scalar loads (halved
+        from 8; scalar VMEM loads are the walk's measured bottleneck).
+        Mosaic bitcast is vector-only, so the masked scalar words are
+        broadcast to lane shape first; the slab math consumes the
+        broadcast vectors directly."""
+        def unpk(w):
+            hi = jnp.full(LANES, w & jnp.int32(-65536), jnp.int32)
+            lo = jnp.full(LANES, w << 16, jnp.int32)
+            return (jax.lax.bitcast_convert_type(hi, jnp.float32),
+                    jax.lax.bitcast_convert_type(lo, jnp.float32))
+
+        bx0, bx1 = unpk(nodes_ref[p, 0])
+        by0, by1 = unpk(nodes_ref[p, 1])
+        bz0, bz1 = unpk(nodes_ref[p, 2])
+        return bx0, by0, bz0, bx1, by1, bz1, nodes_ref[p, 3]
+
+    if leaf_resident:
+        # Whole leaf table in VMEM: no DMA, scalar-index directly.
+        def body(carry):
+            p, pend, buf = carry
+            bx0, by0, bz0, bx1, by1, bz1, w3 = node_fields(p)
+            near, far = slab(bx0, by0, bz0, bx1, by1, bz1)
+            hit = ((near <= far) & (far >= -eps_behind)
+                   & (near <= best_t_ref[:]))
+            anyhit = jnp.any(hit)
+            is_leaf = w3 < 0
+
+            @pl.when(anyhit & is_leaf)
+            def _leaf():
+                si = -w3 - 1
+                for k in range(K):
+                    ok, tt, row = leaf_test(
+                        lambda c, k=k: leaf_hbm[si, k * rec_f + c])
+                    better = ok & (tt < best_t_ref[:])
+                    best_t_ref[:] = jnp.where(better, tt, best_t_ref[:])
+                    best_row_ref[:] = jnp.where(better, row,
+                                                best_row_ref[:])
+
+            # A leaf's preorder escape is always p+1, so leaves advance
+            # linearly whether hit or not; internal misses take the skip.
+            nxt = jnp.where(is_leaf | anyhit, p + 1, w3)
+            return nxt, pend, buf
+
+        jax.lax.while_loop(lambda c: c[0] < n_nodes, body,
+                           (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    else:
+        # Double-buffered pipelined walk: entering a leaf STARTS its DMA
+        # (into the buffer the pending leaf is not using) and processes the
+        # PREVIOUSLY pending leaf while the copy flies — the walk between
+        # leaf hits hides the DMA latency that a blocking start+wait paid
+        # on every leaf.
+        sem0, sem1 = sem
+
+        def start_into(b, si):
+            tgt = leaf_vmem.at[pl.ds(b, 1), :]
+            src = leaf_hbm.at[pl.ds(si, 1), :]
+            pltpu.make_async_copy(src, tgt, sem0 if b == 0 else sem1
+                                  ).start()
+
+        def wait_for(b):
+            pltpu.make_async_copy(
+                leaf_hbm.at[pl.ds(0, 1), :], leaf_vmem.at[pl.ds(b, 1), :],
+                sem0 if b == 0 else sem1).wait()
+
+        def body(carry):
+            p, pend, buf = carry
+            bx0, by0, bz0, bx1, by1, bz1, w3 = node_fields(p)
+            near, far = slab(bx0, by0, bz0, bx1, by1, bz1)
+            hit = ((near <= far) & (far >= -eps_behind)
+                   & (near <= best_t_ref[:]))
+            anyhit = jnp.any(hit)
+            is_leaf = w3 < 0
+            enter = anyhit & is_leaf
+            si = -w3 - 1
+            # New leaf lands in the buffer the pending one is NOT in.
+            nb = jnp.where(pend != 0, 1 - buf, buf)
+
+            @pl.when(enter & (nb == 0))
+            def _s0():
+                start_into(0, si)
+
+            @pl.when(enter & (nb == 1))
+            def _s1():
+                start_into(1, si)
+
+            @pl.when(enter & (pend != 0) & (buf == 0))
+            def _p0():
+                wait_for(0)
+                process(0)
+
+            @pl.when(enter & (pend != 0) & (buf == 1))
+            def _p1():
+                wait_for(1)
+                process(1)
+
+            # Leaves always escape to p+1 (preorder); internal misses skip.
+            nxt = jnp.where(is_leaf | anyhit, p + 1, w3)
+            pend2 = jnp.where(enter, 1, pend)
+            buf2 = jnp.where(enter, nb, buf)
+            return nxt, pend2, buf2
+
+        _, pend, buf = jax.lax.while_loop(
+            lambda c: c[0] < n_nodes, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+        @pl.when((pend != 0) & (buf == 0))
+        def _f0():
+            wait_for(0)
+            process(0)
+
+        @pl.when((pend != 0) & (buf == 1))
+        def _f1():
+            wait_for(1)
+            process(1)
 
     out_row[:] = best_row_ref[:].reshape(-1)
     out_t[:] = best_t_ref[:].reshape(-1)
 
 
+# Leaf tables at or under this size ride whole in VMEM (no per-leaf DMA);
+# beyond it they stay in HBM behind scalar-indexed async copies.  Measured
+# on v5e (2.9k tris, primary select): resident 63.5 ms vs DMA 51.9 ms —
+# scalar VMEM reads with large dynamic 2-D offsets LOSE to the DMA +
+# small-scratch path, so residency is disabled; the knob is kept for
+# hardware where scalar VMEM loads are cheaper.
+LEAF_VMEM_BYTES = 0
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_nodes", "K", "interpret",
-                                    "eps_behind", "eps_pos"))
+                                    "eps_behind", "eps_pos",
+                                    "leaf_resident", "leaf_kind"))
 def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
-                   eps_behind, eps_pos, interpret=False):
+                   eps_behind, eps_pos, interpret=False,
+                   leaf_resident=False, leaf_kind="tri"):
     R = rays[0].shape[0]
     assert R % BLOCK == 0
     grid = (R // BLOCK,)
@@ -237,22 +466,25 @@ def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
 
     kernel = functools.partial(
         _traverse_kernel, n_nodes=n_nodes, K=K,
-        eps_behind=float(eps_behind), eps_pos=float(eps_pos))
+        eps_behind=float(eps_behind), eps_pos=float(eps_pos),
+        leaf_resident=leaf_resident, leaf_kind=leaf_kind)
+    leaf_spec = full(leaf_tris) if leaf_resident \
+        else pl.BlockSpec(memory_space=pl.ANY)
     out_row, out_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             full(nodes),                           # node table: whole, VMEM
-            pl.BlockSpec(memory_space=pl.ANY),     # leaf tris stay in HBM
+            leaf_spec,                             # leaf tris: VMEM or HBM
         ] + [ray_spec] * 13,
         out_specs=(ray_spec, ray_spec),
         out_shape=(jax.ShapeDtypeStruct((R,), jnp.float32),
                    jax.ShapeDtypeStruct((R,), jnp.float32)),
         scratch_shapes=[
-            pltpu.VMEM((1, leaf_tris.shape[1]), jnp.float32),
+            pltpu.VMEM((2, leaf_tris.shape[1]), jnp.float32),
             pltpu.VMEM(LANES, jnp.float32),
             pltpu.VMEM(LANES, jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            (pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA),
         ],
         interpret=interpret,
     )(nodes, leaf_tris, *rays, *skip_fields)
@@ -262,22 +494,32 @@ def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
 class PallasBVH:
     """Packed arrays + selection entry for the Pallas traversal."""
 
+    leaf_kind = "tri"
+
     def __init__(self, bvh: BVHArrays, tri, mats, n_prims: int):
-        self.nodes = jnp.asarray(pack_nodes(bvh))
         self.leaf_tris = jnp.asarray(pack_leaf_tris(bvh, tri, mats))
         self.K = int(self.leaf_tris.shape[1]) // TRI_F  # incl. align pad
+        self._init_common(bvh, np.asarray(tri.prim_id), n_prims)
+
+    def _init_common(self, bvh: BVHArrays, prim_id, n_prims: int):
+        self.nodes = jnp.asarray(pack_nodes4(bvh))
+        self.root_min = jnp.asarray(np.asarray(bvh.bmin[0], np.float32))
+        self.root_max = jnp.asarray(np.asarray(bvh.bmax[0], np.float32))
         self.n_nodes = int(bvh.n_nodes)
-        # prim id → triangle-table row (for skip-hit row matching).
-        prim_id = np.asarray(tri.prim_id)
+        # prim id → own-table row (for skip-hit row matching).
         inv = np.full(max(n_prims, 1), -1, np.int32)
         ok = prim_id >= 0
         inv[prim_id[ok]] = np.nonzero(ok)[0].astype(np.int32)
         self.prim_to_row = jnp.asarray(inv)
-        # VMEM budget: nodes must fit on-core (v5e ~16 MB).
-        vmem_bytes = self.nodes.size * 4
-        if vmem_bytes > 12 * 2 ** 20:
+        # VMEM budget: nodes must fit on-core (v5e ~16 MB); small leaf
+        # tables ride along in VMEM too (no per-leaf DMA in the kernel).
+        node_bytes = self.nodes.size * 4
+        leaf_bytes = self.leaf_tris.size * 4
+        self.leaf_resident = (leaf_bytes <= LEAF_VMEM_BYTES
+                              and node_bytes + leaf_bytes <= 12 * 2 ** 20)
+        if node_bytes > 12 * 2 ** 20:
             raise ValueError(
-                f"BVH node table {vmem_bytes/2**20:.0f} MB exceeds the VMEM "
+                f"BVH node table {node_bytes/2**20:.0f} MB exceeds the VMEM "
                 f"budget; raise leaf_size (nodes halve per doubling)")
 
     def _sort_key(self, ray_o, ray_d):
@@ -290,8 +532,8 @@ class PallasBVH:
         (octant, origin locality) re-forms tight beams. Parked dead lanes
         (origin 4e8) all share one key bucket and compact together.
         """
-        root_min = self.nodes[0, 0:3]
-        root_max = self.nodes[0, 3:6]
+        root_min = self.root_min
+        root_max = self.root_max
         ext = jnp.maximum(root_max - root_min, 1e-30)
         q = jnp.clip((ray_o - root_min) / ext, 0.0, 1.0)
         q = (q * 63.0).astype(jnp.int32)  # 6 bits per axis
@@ -315,27 +557,21 @@ class PallasBVH:
         """(best_row [R] i32 or -1, any [R] bool) — dispatch tri_select.
 
         ``sort=True`` permutes rays into (octant, Morton) order before the
-        kernel and inverts the permutation after.  Algorithmically this
-        re-forms coherent beams for secondary bounces, but measured on v5e
-        the XLA argsort+gather round trips cost ~4x the traversal savings
-        (2.86 -> 11.4 s/pass on 32k tris at 512^2), so it is OFF by
-        default — kept for hardware where gathers are cheaper."""
-        if sort:
-            key = self._sort_key(ray_o, ray_d)
-            perm = jnp.argsort(key)
-            take = lambda a: jnp.take(a, perm, axis=0)
-            skip_p = None if skip is None else jax.tree.map(take, skip)
-            row_p, any_p = self.select(take(ray_o), take(ray_d), skip_p,
-                                       eps_behind, eps_pos,
-                                       interpret=interpret, sort=False)
-            inv = jnp.argsort(perm)
-            return jnp.take(row_p, inv), jnp.take(any_p, inv)
+        kernel and inverts the permutation after — re-forming coherent
+        beams for secondary bounces (measured ~full-preorder walks per
+        block without it, scripts/beam_model.py).  The permutation runs on
+        [R] component planes (never [R, 3] — lane-padded gathers made an
+        earlier row-shaped version cost 4x the traversal savings)."""
         R = ray_o.shape[0]
         pad = (-R) % BLOCK
-        pz = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
-        o = pz(ray_o)
-        d = pz(ray_d)
-        rays = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+        # Padding lanes are PARKED rays (origin far outside the root box,
+        # +x direction) — a zero direction would make the slab test enter
+        # every node and the tail block walk the whole preorder.
+        pzc = lambda a, v: jnp.pad(a, (0, pad), constant_values=v)
+        pz = lambda a: pzc(a, 0.0)
+        ox_, oy_, oz_ = (pzc(ray_o[:, k], 4e8) for k in range(3))
+        rays = (ox_, oy_, oz_, pzc(ray_d[:, 0], 1.0), pz(ray_d[:, 1]),
+                pz(ray_d[:, 2]))
 
         n = R + pad
         if skip is None:
@@ -349,16 +585,51 @@ class PallasBVH:
                 -1)
             leaving = (jnp.sum(ray_d * skip.normal, axis=-1) > 0)
             scale = 1.0 + jnp.sum(skip.position ** 2, axis=-1)
-            sk = (pz(srow.astype(jnp.float32)),
+            sk = (pzc(srow.astype(jnp.float32), NEG),
                   pz(skip.position[:, 0]), pz(skip.position[:, 1]),
                   pz(skip.position[:, 2]),
                   pz(leaving.astype(jnp.float32)),
                   pz(skip.inside.astype(jnp.float32)),
-                  pz(scale))
-        row, _t = _traverse_call(
+                  pzc(scale, 1.0))
+
+        idx_s = None
+        if sort:
+            # One multi-operand sort carries every ray/skip plane with the
+            # key: measured on v5e, lax.sort with 13 payloads costs barely
+            # more than argsort alone, while take/scatter of each plane
+            # costs as much as the whole sort — so the permutation never
+            # goes through XLA gathers.
+            key = pzc(self._sort_key(ray_o, ray_d),
+                      jnp.iinfo(jnp.int32).max)
+            idx = jnp.arange(n, dtype=jnp.int32)
+            out = jax.lax.sort((key, idx) + rays + sk, num_keys=1)
+            idx_s = out[1]
+            rays, sk = out[2:8], out[8:]
+
+        row, t = _traverse_call(
             self.nodes, self.leaf_tris, rays, sk,
             n_nodes=self.n_nodes, K=self.K,
             eps_behind=float(eps_behind), eps_pos=float(eps_pos),
-            interpret=interpret)
+            interpret=interpret, leaf_resident=self.leaf_resident,
+            leaf_kind=self.leaf_kind)
+        if idx_s is not None:
+            # Un-permute by sorting back on the carried original index.
+            _, row, t = jax.lax.sort((idx_s, row, t), num_keys=1)
         row = row[:R].astype(jnp.int32)
-        return jnp.maximum(row, 0), row >= 0
+        return jnp.maximum(row, 0), row >= 0, t[:R]
+
+
+class PallasSphereBVH(PallasBVH):
+    """Block-beam traversal over UNTRANSFORMED spheres — the acceleration
+    tier the reference gives every primitive type through IBoundedObject
+    (Scene.cs:39-49, Sphere.cs:220-232).  Shares the packed-node walk with
+    the triangle kernel; only the leaf test differs (plain-sphere
+    quadratic with per-root filtering).  Transformed spheres (ellipsoids)
+    stay on the dense path."""
+
+    leaf_kind = "sph"
+
+    def __init__(self, bvh: BVHArrays, sph, mats, n_prims: int):
+        self.leaf_tris = jnp.asarray(pack_leaf_spheres(bvh, sph, mats))
+        self.K = int(self.leaf_tris.shape[1]) // SPH_F  # incl. align pad
+        self._init_common(bvh, np.asarray(sph.prim_id), n_prims)

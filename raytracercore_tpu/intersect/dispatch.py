@@ -190,7 +190,7 @@ def _sphere_select(scene, ray_o, ray_d, skip, eps_pos):
     return _sphere_select_rt(scene, ray_o, ray_d, skip, eps_pos)
 
 
-def _sphere_select_rt(scene, ray_o, ray_d, skip, eps_pos):
+def _sphere_select_rt(scene, ray_o, ray_d, skip, eps_pos, want_t=False):
     """[rays, prims]-layout sphere scan."""
     sph = scene.spheres
     mats = scene.materials
@@ -216,9 +216,61 @@ def _sphere_select_rt(scene, ray_o, ray_d, skip, eps_pos):
     # ordered candidate scan, Sphere.cs:199-209).
     tw = jnp.where(near_valid, near_tw, far_tw)
     valid = near_valid | far_valid
-    idx, any_ = _best(jnp.where(valid, tw, jnp.inf), valid)
+    tbest = jnp.where(valid, tw, jnp.inf)
+    idx, any_ = _best(tbest, valid)
     use_near = jnp.take_along_axis(near_valid, idx[:, None], axis=1)[:, 0]
+    if want_t:
+        t_min = jnp.take_along_axis(tbest, idx[:, None], axis=1)[:, 0]
+        return idx, use_near, any_, t_min
     return idx, use_near, any_
+
+
+def _skip_match_1(ray_d, cand_pos, cand_inside, cand_prim, skip, eps):
+    """Util.RayHitMatches on [R]-shaped single candidates (the [R, N]
+    grid version is :func:`_skip_match`)."""
+    if skip is None:
+        return jnp.zeros(cand_prim.shape, bool)
+    same_prim = cand_prim == skip.prim
+    d2 = jnp.sum((cand_pos - skip.position) ** 2, axis=-1)
+    scale = 1.0 + jnp.sum(skip.position ** 2, axis=-1)
+    pos_close = d2 <= (eps * eps) * scale
+    leaving = jnp.sum(ray_d * skip.normal, axis=-1) > 0
+    parity = jnp.where(leaving, cand_inside != skip.inside,
+                       cand_inside == skip.inside)
+    return same_prim & pos_close & parity & (skip.prim >= 0)
+
+
+def _sphere_near_valid_single(scene, rows, ray_o, ray_d, skip, eps_pos):
+    """use_near for a single UNTRANSFORMED sphere row per ray: re-derives
+    the near root's validity (existence + two-sided/invert cull + skip
+    rule) with exactly the Pallas sphere-leaf test's semantics, so the
+    winner evaluation picks the same root the traversal committed."""
+    sph = scene.spheres
+    mats = scene.materials
+    take = lambda a: jnp.take(a, rows, axis=0)
+    center, radius = take(sph.center), take(sph.radius)
+    prim_ids = take(sph.prim_id)
+    safe = jnp.maximum(prim_ids, 0)
+    invert = jnp.take(mats.invert, safe)
+    two_sided = jnp.take(mats.two_sided, safe)
+
+    # Renormalize d exactly like the dense path (Ray.Transform
+    # re-normalizes, Ray.cs:43-50) so grazing-ray root choices can't flip
+    # between this evaluator and the [R, S] grid.
+    d = ray_d / vm.safe_sqrt(jnp.sum(ray_d * ray_d, axis=-1))[:, None]
+    off = ray_o - center
+    b = -2.0 * jnp.sum(off * d, axis=-1)
+    cq = jnp.sum(off * off, axis=-1) - radius ** 2
+    disc = b * b - 4.0 * cq
+    has = disc >= 0
+    radix = jnp.sqrt(jnp.where(has, disc, 0.0))
+    any_hit = has & (radix >= -b)
+    both = radix < b
+    t_near = (b - radix) * 0.5
+    inside_near = invert  # geometric False ^ invert
+    pos = ray_o + d * t_near[:, None]
+    match = _skip_match_1(ray_d, pos, inside_near, prim_ids, skip, eps_pos)
+    return any_hit & both & (two_sided | ~inside_near) & ~match
 
 
 
@@ -325,9 +377,13 @@ def _combine(tri_w, sph_w, pl_w):
                      normal=normal, inside=inside)
 
 
-def _closest_from_tri_select(scene, ray_o, ray_d, skip, tri_select_fn):
+def _closest_from_tri_select(scene, ray_o, ray_d, skip, tri_select_fn,
+                             sphere_select_fn=None):
     """Common driver: stop-grad selection for all tables, differentiable
-    winner evaluation, cross-table combine."""
+    winner evaluation, cross-table combine.
+
+    ``sphere_select_fn`` overrides the dense sphere scan (signature of
+    :func:`_sphere_select`) — how the sphere-BVH path plugs in."""
     dtype = ray_o.dtype
     eps_behind = vm.near_enough(dtype)
     eps_pos = _position_eps(dtype)
@@ -342,6 +398,7 @@ def _closest_from_tri_select(scene, ray_o, ray_d, skip, tri_select_fn):
     use_pallas = (SELECT_IMPL == "pallas"
                   and jax.default_backend() == "tpu")
     if (use_pallas and tri_select_fn is _triangle_select_dense
+            and sphere_select_fn is None
             and n_table_rows <= PALLAS_MAX_PRIMS):
         from . import pallas_select
         ((tri_idx, tri_any), (sph_idx, use_near, sph_any),
@@ -350,8 +407,9 @@ def _closest_from_tri_select(scene, ray_o, ray_d, skip, tri_select_fn):
     else:
         tri_idx, tri_any = tri_select_fn(scene_sg, o_sg, d_sg, skip_sg,
                                          eps_behind, eps_pos)
-        sph_idx, use_near, sph_any = _sphere_select(scene_sg, o_sg, d_sg,
-                                                    skip_sg, eps_pos)
+        sph_select = sphere_select_fn or _sphere_select
+        sph_idx, use_near, sph_any = sph_select(scene_sg, o_sg, d_sg,
+                                                skip_sg, eps_pos)
         pl_idx, pl_any = _plane_select(scene_sg, o_sg, d_sg, skip_sg,
                                        eps_behind, eps_pos)
 
@@ -375,7 +433,7 @@ def closest_hit(scene: SceneArrays, ray_o, ray_d, skip: HitRecord | None
 
 
 def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
-                        traversal: str = "auto"):
+                        traversal: str = "auto", sort=None):
     """Closest-hit with triangle selection routed through the skip-link BVH.
 
     Traversal runs in the stop-grad selection phase and returns only the
@@ -388,6 +446,11 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
                            on TPU at scale — bvh/pallas_traverse.py);
       "pallas"           — force the kernel (compiled on TPU, interpreted
                            on CPU — tests only; interpret is slow).
+
+    ``sort``: permute rays to (octant, Morton) order before each traversal
+    (PallasBVH.select) — re-forms coherent beams for secondary bounces.
+    None = auto: on for trees past a few thousand nodes, where incoherent
+    blocks walk most of the preorder (scripts/beam_model.py).
     """
     from ..bvh.traverse import traverse_closest
 
@@ -410,18 +473,76 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
                 "Rebuild the BVH with leaf_size=None (auto) to fit the "
                 "VMEM budget.", RuntimeWarning, stacklevel=2)
 
+    do_sort = sort
+    if do_sort is None:
+        do_sort = pallas_bvh is not None and pallas_bvh.n_nodes > 4096
+
     def tri_select_bvh(scene_sg, o_sg, d_sg, skip_sg, eps_behind, eps_pos):
         on_tpu = jax.default_backend() == "tpu"
         if pallas_bvh is not None and (on_tpu or traversal == "pallas"):
-            return pallas_bvh.select(o_sg, d_sg, skip_sg, eps_behind,
-                                     eps_pos, interpret=not on_tpu)
+            row, any_, _t = pallas_bvh.select(o_sg, d_sg, skip_sg,
+                                              eps_behind, eps_pos,
+                                              interpret=not on_tpu,
+                                              sort=do_sort)
+            return row, any_
         best_idx, _ = traverse_closest(bvh, scene_sg.triangles,
                                        scene_sg.materials, o_sg, d_sg,
                                        skip_sg, eps_behind, eps_pos)
         return jnp.maximum(best_idx, 0), best_idx >= 0
 
+    # --- sphere acceleration (reference: IBoundedObject bounds every
+    # primitive type, Scene.cs:39-49) — a parallel sphere-BVH over the
+    # UNTRANSFORMED spheres; transformed ellipsoids and tiny tables stay
+    # on the dense scan.
+    sphere_select_fn = None
+    sphere_bvh = None
+    if pallas_bvh is not None and scene is not None:
+        import numpy as _np
+
+        sph_np_pid = _np.asarray(scene.spheres.prim_id)
+        accel_mask = (~_np.asarray(scene.spheres.transformed)
+                      & (sph_np_pid >= 0))
+        if int(accel_mask.sum()) >= 256:
+            from ..bvh.builder import build_sphere_bvh
+            from ..bvh.pallas_traverse import PallasSphereBVH
+            sb = build_sphere_bvh(_np.asarray(scene.spheres.center),
+                                  _np.asarray(scene.spheres.radius),
+                                  accel_mask)
+            try:
+                sphere_bvh = PallasSphereBVH(sb, scene.spheres,
+                                             scene.materials,
+                                             scene.n_prims)
+            except ValueError:
+                sphere_bvh = None
+        if sphere_bvh is not None:
+            accel_mask_j = jnp.asarray(accel_mask)
+
+            def sphere_select_fn(scene_sg, o_sg, d_sg, skip_sg, eps_pos):
+                on_tpu = jax.default_backend() == "tpu"
+                if not (on_tpu or traversal == "pallas"):
+                    return _sphere_select(scene_sg, o_sg, d_sg, skip_sg,
+                                          eps_pos)
+                # Dense pass over the NON-accelerated rows only.
+                masked = scene_sg.spheres.replace(
+                    prim_id=jnp.where(accel_mask_j, -1,
+                                      scene_sg.spheres.prim_id))
+                idx_d, use_near_d, any_d, t_d = _sphere_select_rt(
+                    scene_sg.replace(spheres=masked), o_sg, d_sg, skip_sg,
+                    eps_pos, want_t=True)
+                row_b, any_b, t_b = sphere_bvh.select(
+                    o_sg, d_sg, skip_sg, vm.near_enough(o_sg.dtype),
+                    eps_pos, interpret=not on_tpu, sort=do_sort)
+                use_b = any_b & (~any_d | (t_b <= t_d))
+                idx = jnp.where(use_b, row_b, idx_d)
+                near_b = _sphere_near_valid_single(
+                    scene_sg, jnp.maximum(row_b, 0), o_sg, d_sg, skip_sg,
+                    eps_pos)
+                use_near = jnp.where(use_b, near_b, use_near_d)
+                return idx, use_near, any_b | any_d
+
     def closest(scene: SceneArrays, ray_o, ray_d, skip) -> HitRecord:
         return _closest_from_tri_select(scene, ray_o, ray_d, skip,
-                                        tri_select_bvh)
+                                        tri_select_bvh,
+                                        sphere_select_fn=sphere_select_fn)
 
     return closest

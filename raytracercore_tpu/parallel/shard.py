@@ -165,6 +165,77 @@ def make_prims_sharded_render_pass(mesh: Mesh) -> Callable:
     return render_pass
 
 
+def make_overlapped_train_step(mesh: Mesh,
+                               optimizer: optax.GradientTransformation
+                               ) -> Callable:
+    """Train step with the material-gradient all-reduce OVERLAPPED with
+    the backward bounce unroll (SURVEY §5.8/§7.6).
+
+    The GSPMD step (:func:`make_train_step`) leaves the reduction to XLA,
+    which schedules one fused all-reduce after the whole backward.  Here
+    the step runs under shard_map (rays sharded, params/scene replicated)
+    and the replay inserts a psum per BOUNCE inside the backward unroll
+    (render.replay._allreduce_in_bwd): bounce k's material-gradient bucket
+    rides the ICI while bounce k-1's backward math still executes.  psum
+    linearity makes the result equal to the fused schedule up to f32
+    summation order (tested against the single-device step).
+
+    Returns ``step(params, scene, camera, target, opt_state, key)
+    → (params, opt_state, loss)``.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import RAYS_AXIS
+
+    n_dev = mesh.devices.size
+
+    @jax.jit
+    def step(params, scene: SceneArrays, camera, target, opt_state, key):
+        h, w = target.shape[:2]
+        px, py = cam_mod.pixel_grid(w, h)
+        k_cam, k_path = jax.random.split(key)
+        ray_o, ray_d = cam_mod.camera_rays(camera, px, py, k_cam)
+        uniforms = prepare_uniforms(k_path, h * w, scene.recursion + 1,
+                                    ray_o.dtype)
+        tgt = target.reshape(h * w, 3)
+
+        rep = jax.tree.map(lambda _: P(), (params, scene, camera))
+
+        def shard_fn(params, scene, camera, o, d, u, tgt):
+            def loss_fn(p):
+                from ..render.replay import record_tape, replay
+                from ..render.replay import _default_record_fn
+                s = with_material_params(scene, p)
+                rec = _default_record_fn(s, closest_hit)
+                tape = record_tape(s, o, d, u, closest_fn=rec)
+                color, miss = replay(s, o, d, u, tape,
+                                     grad_axis=RAYS_AXIS)
+                img = jnp.where(miss[:, None], 0.0, color)
+                # Local SUM; the global mean divides by the full count.
+                return jnp.sum((img - tgt) ** 2) / (h * w * 3)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            # Per-bounce buckets already all-reduced the grads; only the
+            # scalar loss still needs its own psum.
+            return jax.lax.psum(loss, RAYS_AXIS), grads
+
+        loss, grads = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(rep[0], rep[1], rep[2], P(RAYS_AXIS, None),
+                      P(RAYS_AXIS, None), P(None, None, RAYS_AXIS),
+                      P(RAYS_AXIS, None)),
+            out_specs=(P(), jax.tree.map(lambda _: P(), params)),
+            check_vma=False)(params, scene, camera, ray_o, ray_d,
+                             uniforms, tgt)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    del n_dev
+    return step
+
+
 def make_train_step(mesh: Optional[Mesh], optimizer: optax.GradientTransformation,
                     closest_fn=closest_hit, use_replay: bool = True) -> Callable:
     """A jitted material-optimization step: render → L2 image loss → grads →

@@ -94,3 +94,31 @@ def pixel_grid(width: int, height: int):
     ys, xs = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
                           indexing="ij")
     return xs.reshape(-1), ys.reshape(-1)
+
+
+def pixel_grid_tiled(width: int, height: int, tile: int):
+    """Pixel index grids in square-tile order: tiles row-major over the
+    tile grid, pixels row-major within each tile.
+
+    Block-beam BVH traversal (bvh/pallas_traverse.py) owns blocks of 1024
+    consecutive rays; in row-major order those span 1-2 full image rows and
+    the block's beam covers most of the scene, while a 32x32 tile is a
+    tight frustum (measured: ~7x fewer node visits, ~8x fewer leaf visits
+    per block on the meshgen scene — scripts/beam_model.py).
+
+    Requires tile | width and tile | height.  Pair with :func:`untile` to
+    restore row-major order for film accumulation.
+    """
+    assert width % tile == 0 and height % tile == 0, (width, height, tile)
+    ty, tx, iy, ix = jnp.meshgrid(
+        jnp.arange(height // tile), jnp.arange(width // tile),
+        jnp.arange(tile), jnp.arange(tile), indexing="ij")
+    return ((tx * tile + ix).reshape(-1), (ty * tile + iy).reshape(-1))
+
+
+def untile(a, width: int, height: int, tile: int):
+    """Reorder a [H*W, ...] tile-ordered array back to row-major."""
+    rest = a.shape[1:]
+    a = a.reshape(height // tile, width // tile, tile, tile, *rest)
+    a = jnp.swapaxes(a, 1, 2)
+    return a.reshape(height * width, *rest)

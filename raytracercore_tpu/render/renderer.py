@@ -56,10 +56,11 @@ def render_pass(scene: SceneArrays, camera, film: Film, key,
     return film.add_full_frame(color, miss)
 
 
-@functools.partial(jax.jit, static_argnames=("closest_fn", "n", "trace_fn"))
+@functools.partial(jax.jit, static_argnames=("closest_fn", "n", "trace_fn",
+                                             "tile"))
 def render_passes(scene: SceneArrays, camera, film: Film, base_key, start,
                   n: int = 1, closest_fn=closest_hit,
-                  trace_fn=None) -> Film:
+                  trace_fn=None, tile: int = 0) -> Film:
     """``n`` progressive passes fused into ONE compiled call.
 
     Per-dispatch latency on the remote TPU tunnel is comparable to a whole
@@ -68,9 +69,19 @@ def render_passes(scene: SceneArrays, camera, film: Film, base_key, start,
     ``fold_in(base_key, start + i)`` — the same key schedule as issuing
     single passes with ``fold_in(base_key, pass_index)``, so results are
     invariant to how a run is chunked into calls.
+
+    ``tile``: trace rays in square-tile order (``tile x tile`` pixels per
+    chunk of the wavefront) instead of row-major — coherent beams for the
+    block-beam BVH traversal (camera.pixel_grid_tiled).  The film is
+    untiled back to row-major before accumulation, and the key schedule
+    consumes uniforms per-RAY-INDEX, so results differ from row-major only
+    in which jitter sample lands on which pixel (same estimator).  0 = off.
     """
     h, w = film.shape
-    px, py = cam_mod.pixel_grid(w, h)
+    if tile:
+        px, py = cam_mod.pixel_grid_tiled(w, h, tile)
+    else:
+        px, py = cam_mod.pixel_grid(w, h)
 
     def body(i, f):
         key = jax.random.fold_in(base_key, start + i)
@@ -86,6 +97,9 @@ def render_passes(scene: SceneArrays, camera, film: Film, base_key, start,
             color, miss = trace(scene, ray_o, ray_d, k_path,
                                 closest_fn=closest_fn, early_exit=False)
         with jax.named_scope("film_accum"):
+            if tile:
+                color = cam_mod.untile(color, w, h, tile)
+                miss = cam_mod.untile(miss, w, h, tile)
             return f.add_full_frame(color, miss)
 
     return jax.lax.fori_loop(0, n, body, film)

@@ -41,6 +41,8 @@ value ``trace`` treats as stop-grad anyway) — which the tests pin.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -52,8 +54,35 @@ from .integrator import (BounceType, PathTape, _material_matrix,
                          prepare_uniforms, trace)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _allreduce_in_bwd(x, axis_name):
+    """Identity forward; cross-device psum of the COTANGENT in backward.
+
+    Inserted once per bounce on the material matrix inside
+    :func:`replay`'s loop body, this turns the material-gradient
+    all-reduce into per-bounce buckets issued INSIDE the backward unroll
+    (SURVEY §7.6): each rematerialized bounce's transposed-gather gradient
+    is psum'd as soon as it exists, so the collectives overlap the
+    remaining backward compute instead of queueing as one fused reduction
+    at step end.  psum is linear, so bucket-then-add equals add-then-psum
+    exactly up to summation order.
+    """
+    return x
+
+
+def _allreduce_fwd(x, axis_name):
+    return x, None
+
+
+def _allreduce_bwd(axis_name, _res, ct):
+    return (jax.lax.psum(ct, axis_name),)
+
+
+_allreduce_in_bwd.defvjp(_allreduce_fwd, _allreduce_bwd)
+
+
 def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
-           remat: bool = True):
+           remat: bool = True, grad_axis: str | None = None):
     """Differentiable re-walk of a recorded path.
 
     Same (color, miss) contract and shading semantics as
@@ -63,6 +92,12 @@ def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
 
     ``remat``: rematerialize each bounce in the backward (checkpoint).  Off,
     reverse-AD saves every bounce's intermediates — more HBM, no recompute.
+
+    ``grad_axis``: name of a shard_map mesh axis carrying ray shards.  When
+    set, each bounce's material-gradient contribution is all-reduced
+    inside the backward unroll (:func:`_allreduce_in_bwd` — the bucketed,
+    overlapped schedule of SURVEY §7.6) and the returned gradients are
+    already globally summed.
     """
     R = ray_o.shape[0]
     dtype = ray_o.dtype
@@ -77,6 +112,10 @@ def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
 
     def body(i, carry):
         d, tint, result, miss = carry
+        # Per-bounce gradient bucket (no-op forward; psum of this bounce's
+        # material cotangent in the backward).
+        matm_T_b = (_allreduce_in_bwd(matm_T, grad_axis)
+                    if grad_axis is not None else matm_T)
 
         # Periodic renormalization — must match trace (Raytracer.cs:74-75),
         # including its divide (a/len, not a·rsqrt).
@@ -97,7 +136,7 @@ def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
         # one-hot matmul an exact row copy.
         onehot_T = (row_ids[:, None] == jnp.maximum(prim, 0)[None, :]
                     ).astype(dtype)
-        g = jnp.matmul(matm_T, onehot_T,          # [C, R] component planes
+        g = jnp.matmul(matm_T_b, onehot_T,        # [C, R] component planes
                        precision=jax.lax.Precision.HIGHEST)
         emission = (g[0], g[1], g[2])
         diffuse = (g[3], g[4], g[5])
@@ -244,7 +283,8 @@ def _default_record_fn(scene: SceneArrays, closest_fn):
 
 
 def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
-                 closest_fn=closest_hit, record_fused=None):
+                 closest_fn=closest_hit, record_fused=None,
+                 grad_axis: str | None = None):
     """Drop-in for :func:`..render.integrator.trace` on the TRAIN path:
     same estimator, ~selection-free backward.  With ``record_fused=False``
     the (color, miss) values and gradients are bit-identical to ``trace``
@@ -281,4 +321,5 @@ def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
         record_fn = _default_record_fn(scene, closest_fn)
         tape = record_tape(scene, ray_o, ray_d, uniforms,
                            closest_fn=record_fn)
-    return replay(scene, ray_o, ray_d, uniforms, tape)
+    return replay(scene, ray_o, ray_d, uniforms, tape,
+                  grad_axis=grad_axis)

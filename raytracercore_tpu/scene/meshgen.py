@@ -180,3 +180,86 @@ def make_mesh_scene(grid: int = 14, subdiv: int = 4, seed: int = 0,
     host_tris = (v0.astype(np.float32), e1.astype(np.float32),
                  e2.astype(np.float32), mirror, np.ones(T, bool))
     return arrays, cam, host_tris
+
+
+def make_sphere_field_scene(grid: int = 20, seed: int = 0,
+                            recursion: int = 4, width: int = 512,
+                            height: int = 512, dtype=jnp.float32):
+    """A grid x grid field of ANALYTIC (untransformed) spheres over a floor
+    quad with an emissive quad light — the mixed sphere+triangle stress
+    scene for the sphere-BVH path (reference analog: die.txt's 21 analytic
+    pip spheres + cube quads, at scale).
+
+    grid=320 → 102,400 spheres + 2 triangles.
+
+    Returns (SceneArrays, HostCamera).
+    """
+    rng = np.random.default_rng(seed)
+    S = grid * grid
+    spacing = 2.6
+    half = (grid - 1) * spacing / 2.0
+
+    gx, gy = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    scale = 0.8 + 0.4 * rng.random(S)
+    center = np.stack([gx.reshape(-1) * spacing - half,
+                       gy.reshape(-1) * spacing - half,
+                       scale], axis=1)
+
+    ext = half + 3.0
+    floor_v0 = np.array([[-ext, -ext, 0.0]])
+    floor_e1 = np.array([[2 * ext, 0.0, 0.0]])
+    floor_e2 = np.array([[0.0, 2 * ext, 0.0]])
+    light_v0 = np.array([[-ext / 2, -ext / 2, 6.0 + half]])
+    light_e1 = np.array([[ext, 0.0, 0.0]])
+    light_e2 = np.array([[0.0, ext, 0.0]])
+    v0 = np.concatenate([floor_v0, light_v0])
+    e1 = np.concatenate([floor_e1, light_e1])
+    e2 = np.concatenate([floor_e2, light_e2])
+    normal = np.cross(e1, e2)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+
+    # Global prim ids: spheres 0..S-1, floor S, light S+1.
+    N = S + 2
+    j = lambda a: jnp.asarray(a, dtype)
+    eye4 = np.broadcast_to(np.eye(4), (S, 4, 4)).copy()
+    spheres = Spheres(
+        center=j(center), radius=j(scale),
+        obj_to_world=j(eye4), world_to_obj=j(eye4),
+        normal_mat=j(np.broadcast_to(np.eye(3), (S, 3, 3)).copy()),
+        transformed=jnp.zeros(S, bool),
+        prim_id=jnp.arange(S, dtype=jnp.int32))
+    tris = Triangles(
+        v0=j(v0), e1=j(e1), e2=j(e2), normal=j(normal),
+        n0=j(normal), n1=j(normal), n2=j(normal),
+        mirror=jnp.ones(2, bool), smooth=jnp.zeros(2, bool),
+        prim_id=jnp.asarray([S, S + 1], jnp.int32))
+    planes = Planes(normal=j(np.array([[0.0, 0.0, 1.0]])),
+                    origin_dist=j(np.zeros(1)),
+                    prim_id=jnp.full((1,), -1, jnp.int32))
+
+    diffuse = np.concatenate([0.25 + 0.7 * rng.random((S, 3)),
+                              np.array([[0.6, 0.6, 0.65]]),
+                              np.zeros((1, 3))])
+    emission = np.zeros((N, 3))
+    emission[-1] = [14.0, 13.0, 12.0]
+    mats = Materials(
+        emission=j(emission), diffuse=j(diffuse),
+        specular=j(np.zeros((N, 3))), refraction=j(np.zeros((N, 3))),
+        refractive_index=j(np.ones(N)), shininess=j(np.full(N, 100.0)),
+        two_sided=jnp.zeros(N, bool), invert=jnp.zeros(N, bool))
+
+    arrays = SceneArrays(
+        triangles=tris, spheres=spheres, planes=planes, materials=mats,
+        background_rgb=j(np.zeros(3)), background_alpha=j(0.0),
+        ambient_rgb=j(np.full(3, 0.12)),
+        air_refractive_index=j(1.000293),
+        width=width, height=height, recursion=recursion,
+        ambient_is_miss=False, debug_geom=False, n_prims=N)
+
+    cam = HostCamera(
+        mode="frustum",
+        position=np.array([0.0, -half - 14.0, half * 0.9 + 7.0]),
+        look_at=np.array([0.0, 0.0, 1.0]),
+        up=np.array([0.0, 0.0, 1.0]),
+        fov_or_size=np.deg2rad(55.0))
+    return arrays, cam

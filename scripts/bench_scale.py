@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--spp-png", type=int, default=16)
     ap.add_argument("--traversal", default="auto",
                     choices=["auto", "xla", "pallas"])
+    ap.add_argument("--tile", type=int, default=32,
+                    help="square-tile ray ordering (0 = row-major)")
+    ap.add_argument("--sort", default="auto", choices=["auto", "on", "off"],
+                    help="per-bounce (octant, Morton) ray sort")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +78,10 @@ def main():
     log(f"bvh: {bvh.n_nodes} nodes, {bvh.leaf_prims.shape[0]} leaves "
         f"in {t_build:.2f}s")
 
-    closest = make_bvh_closest_fn(bvh, arrays, traversal=args.traversal)
+    sort = None if args.sort == "auto" else (args.sort == "on")
+    closest = make_bvh_closest_fn(bvh, arrays, traversal=args.traversal,
+                                  sort=sort)
+    tile = args.tile if args.size % max(args.tile, 1) == 0 else 0
     camera = init_camera(host_cam, args.size, args.size)
     film = Film.create(args.size, args.size)
     key = jax.random.PRNGKey(0)
@@ -92,15 +99,18 @@ def main():
 
     log("compiling render pass...")
     t0 = time.perf_counter()
-    out = render_passes(arrays, camera, film, key, jnp.int32(0), n=1,
-                        closest_fn=closest)
+    # Warm up the SAME static configuration that is timed below (n is a
+    # static arg — a different n recompiles, which round 3 measured as a
+    # phantom 8s/pass).
+    out = render_passes(arrays, camera, film, key, jnp.int32(0),
+                        n=args.passes, closest_fn=closest, tile=tile)
     float(out.samples[0, 0])
     t_compile = time.perf_counter() - t0
-    log(f"first pass (compile+run): {t_compile:.1f}s")
+    log(f"first {args.passes} passes (compile+run): {t_compile:.1f}s")
 
     t0 = time.perf_counter()
-    out = render_passes(arrays, camera, out, key, jnp.int32(1),
-                        n=args.passes, closest_fn=closest)
+    out = render_passes(arrays, camera, out, key, jnp.int32(args.passes),
+                        n=args.passes, closest_fn=closest, tile=tile)
     float(out.samples[0, 0])
     dt = (time.perf_counter() - t0) / args.passes
 
@@ -115,7 +125,7 @@ def main():
         if more:
             out = render_passes(arrays, camera, out, key,
                                 jnp.int32(1 + args.passes), n=more,
-                                closest_fn=closest)
+                                closest_fn=closest, tile=tile)
         rgb, alpha = out.to_image(arrays.background_rgb,
                                   arrays.background_alpha)
         img = np.concatenate([np.asarray(rgb), np.asarray(alpha)[..., None]],
@@ -133,6 +143,9 @@ def main():
         "paths_per_sec": round(pixels / dt, 1),
         "wavefront_rays_per_sec": round(rays / dt, 1),
         "traversal": args.traversal,
+        "tile": tile,
+        "sort": args.sort,
+        "leaf_size": leaf,
         "device": str(jax.devices()[0]),
     }))
 

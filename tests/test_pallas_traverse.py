@@ -31,7 +31,8 @@ def test_pallas_traverse_matches_xla_primary():
     arrays, bvh, pb, o, d = _setup()
     eps_b = vm.near_enough(o.dtype)
     eps_p = _position_eps(o.dtype)
-    rows_p, any_p = pb.select(o, d, None, eps_b, eps_p, interpret=True)
+    rows_p, any_p, _t = pb.select(o, d, None, eps_b, eps_p,
+                                  interpret=True)
     ref_idx, _ = traverse_closest(bvh, arrays.triangles, arrays.materials,
                                   o, d, None, eps_b, eps_p)
     got = np.where(np.asarray(any_p), np.asarray(rows_p), -1)
@@ -54,8 +55,54 @@ def test_pallas_traverse_skip_hit():
     dn = jnp.sum(d * hit.normal, axis=-1, keepdims=True)
     d2 = jnp.where(found[:, None], d - 2.0 * dn * hit.normal, d)
 
-    rows_p, any_p = pb.select(o2, d2, hit, eps_b, eps_p, interpret=True)
+    rows_p, any_p, _t = pb.select(o2, d2, hit, eps_b, eps_p,
+                                  interpret=True)
     ref_idx, _ = traverse_closest(bvh, arrays.triangles, arrays.materials,
                                   o2, d2, hit, eps_b, eps_p)
     got = np.where(np.asarray(any_p), np.asarray(rows_p), -1)
     np.testing.assert_array_equal(got, np.asarray(ref_idx))
+
+
+def test_sphere_bvh_mixed_scene_matches_dense():
+    """Mixed analytic-sphere + triangle scene through the accelerated path
+    (triangle BVH + sphere BVH, dispatch merge) vs the dense scan —
+    VERDICT r2 #5.  Primary rays and one skip-carrying bounce."""
+    import jax.numpy as jnp
+
+    from raytracercore_tpu.bvh.builder import build_bvh
+    from raytracercore_tpu.intersect.dispatch import make_bvh_closest_fn
+    from raytracercore_tpu.scene.meshgen import make_sphere_field_scene
+    from raytracercore_tpu.scene.types import HostScene, HostTriangle
+
+    arrays, host_cam = make_sphere_field_scene(grid=18, width=32, height=32)
+    # Triangle BVH over the 2 quads (floor+light) via a tiny host scene.
+    tri_np = np.asarray(arrays.triangles.v0), np.asarray(arrays.triangles.e1)
+    from raytracercore_tpu.bvh.builder import build_triangle_bvh
+    bvh = build_triangle_bvh(np.asarray(arrays.triangles.v0),
+                             np.asarray(arrays.triangles.e1),
+                             np.asarray(arrays.triangles.e2),
+                             np.asarray(arrays.triangles.mirror),
+                             np.ones(2, bool), backend="numpy")
+    closest = make_bvh_closest_fn(bvh, arrays, traversal="pallas")
+    camera = init_camera(host_cam, 32, 32)
+    px, py = cam_mod.pixel_grid(32, 32)
+    o, d = cam_mod.center_rays(camera, px, py)
+
+    hb = jax.jit(closest)(arrays, o, d, None)
+    hd = jax.jit(closest_hit)(arrays, o, d, None)
+    assert (np.asarray(hb.prim) == np.asarray(hd.prim)).mean() >= 0.999
+    assert (np.asarray(hd.prim) < 18 * 18).any()  # spheres actually hit
+    f = np.asarray(hd.prim) >= 0
+    np.testing.assert_allclose(np.asarray(hb.t)[f], np.asarray(hd.t)[f],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hb.inside),
+                                  np.asarray(hd.inside))
+
+    # One bounce with the skip record exercising the sphere skip filter.
+    found = hd.prim >= 0
+    o2 = jnp.where(found[:, None], hd.position, o)
+    dn = jnp.sum(d * hd.normal, axis=-1, keepdims=True)
+    d2 = jnp.where(found[:, None], d - 2.0 * dn * hd.normal, d)
+    hb2 = jax.jit(closest)(arrays, o2, d2, hd)
+    hd2 = jax.jit(closest_hit)(arrays, o2, d2, hd)
+    assert (np.asarray(hb2.prim) == np.asarray(hd2.prim)).mean() >= 0.999

@@ -118,6 +118,53 @@ def test_prims_sharded_matches_single_device(small_setup):
                                   np.asarray(ref.misses))
 
 
+def test_overlapped_train_step_matches_single(small_setup):
+    """Per-bounce bucketed grad psum inside the backward unroll
+    (make_overlapped_train_step) must equal the single-device step (psum
+    is linear), and its HLO must actually schedule multiple all-reduces —
+    the overlapped design artifact SURVEY §7.6 calls for."""
+    from raytracercore_tpu.parallel.shard import make_overlapped_train_step
+
+    scene, arrays, camera = small_setup
+    optimizer = optax.sgd(1e-2)
+    params = get_material_params(arrays)
+    target = jnp.zeros((16, 16, 3))
+    key = jax.random.PRNGKey(3)
+
+    s_single = make_train_step(None, optimizer)
+    p_ref, _, loss_ref = s_single(params, arrays, camera, target,
+                                  optimizer.init(params), key)
+
+    mesh = make_mesh(n_rays=8)
+    s_ov = make_overlapped_train_step(mesh, optimizer)
+    p_ov, _, loss_ov = s_ov(params, arrays, camera, target,
+                            optimizer.init(params), key)
+    assert float(loss_ov) == pytest.approx(float(loss_ref), rel=1e-5)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_ov[k]),
+                                   np.asarray(p_ref[k]),
+                                   atol=1e-6, err_msg=k)
+
+    # Collective schedule: the material-gradient all-reduce must sit
+    # INSIDE a loop region (the backward bounce unroll — one bucket psum
+    # per bounce at runtime), not as a single fused reduction in ENTRY.
+    hlo = jax.jit(s_ov).lower(params, arrays, camera, target,
+                              optimizer.init(params), key
+                              ).compile().as_text()
+    cur, in_loop, in_entry = "", False, False
+    for ln in hlo.splitlines():
+        if ln.startswith("%") or ln.startswith("ENTRY"):
+            cur = ln
+        if "all-reduce(" in ln:
+            if "f32[14,22]" in ln and not cur.startswith("ENTRY"):
+                in_loop = True     # per-bounce material bucket
+            if ln.strip().startswith("%psum") and cur.startswith("ENTRY") \
+                    and "f32[]" in ln:
+                in_entry = True    # the scalar loss psum
+    assert in_loop, "material-grad psum not scheduled inside the unroll"
+    assert in_entry, "loss psum missing"
+
+
 def test_graft_entry_dryrun():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
