@@ -82,6 +82,15 @@ def pack_nodes4(bvh: BVHArrays) -> np.ndarray:
       w3:     internal node → skip link; leaf → -(slot + 1).  A leaf's
               preorder escape is always p+1, so one signed word carries
               both fields exactly.
+
+    The table is emitted as [ceil(N/32) (8-padded), 128] — 32 records per
+    128-lane row.  A VMEM [N, 4] layout lane-pads the minor dimension to
+    128 (32x blowup: 179 MB for the 1M-triangle tree), and Mosaic scalar
+    loads cannot use a dynamic LANE index, so the kernel fetches an
+    8-aligned (8, 128) row window with a dynamic-slice vector load, lane-
+    rolls the record's four words to lanes 0..3, bounces the window
+    through a VMEM scratch, and scalar-reads [row & 7, 0..3] (dynamic
+    sublane + static lane — the allowed combination).
     """
     bmin = np.asarray(bvh.bmin, np.float32)
     bmax = np.asarray(bvh.bmax, np.float32)
@@ -98,7 +107,13 @@ def pack_nodes4(bvh: BVHArrays) -> np.ndarray:
         out[:, a] = ((lo_b[:, a] & 0xFFFF0000)
                      | (hi_b[:, a] >> 16)).astype(np.uint32).view(np.int32)
     out[:, 3] = w3
-    return out
+    n_pad = (-bvh.n_nodes) % 256  # 8 rows x 32 records
+    if n_pad:
+        # Padding records: empty box (never entered), skip = past-the-end.
+        pad = np.zeros((n_pad, 4), np.int32)
+        pad[:, 3] = bvh.n_nodes
+        out = np.concatenate([out, pad])
+    return out.reshape(-1, 128)
 
 
 def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
@@ -173,7 +188,7 @@ def pack_leaf_spheres(bvh: BVHArrays, sph, mats) -> np.ndarray:
 def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
                      sk_row, sk_px, sk_py, sk_pz, sk_leaving, sk_inside,
                      sk_scale, out_row, out_t,
-                     leaf_vmem, best_t_ref, best_row_ref, sem,
+                     leaf_vmem, best_t_ref, best_row_ref, node_win, sem,
                      *, n_nodes, K, eps_behind, eps_pos,
                      leaf_resident=False, leaf_kind="tri"):
     o_x = ox[:].reshape(LANES)
@@ -321,22 +336,32 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
             best_row_ref[:] = jnp.where(better, row, best_row_ref[:])
 
     def node_fields(p):
-        """Decode one [N, 4]-packed node (pack_nodes4): conservative
-        bf16-pair box + signed skip/slot word — 4 scalar loads (halved
-        from 8; scalar VMEM loads are the walk's measured bottleneck).
-        Mosaic bitcast is vector-only, so the masked scalar words are
-        broadcast to lane shape first; the slab math consumes the
-        broadcast vectors directly."""
-        def unpk(w):
-            hi = jnp.full(LANES, w & jnp.int32(-65536), jnp.int32)
-            lo = jnp.full(LANES, w << 16, jnp.int32)
+        """Decode one packed node (pack_nodes4 layout): vector-fetch an
+        8-aligned row window, lane-roll record p's four words to lanes
+        0..3, bounce through VMEM scratch, scalar-read with a dynamic
+        SUBLANE + static LANE index (the combination Mosaic allows; a
+        dynamic lane index does not compile, and an un-windowed [N, 4]
+        table would lane-pad 32x).  Mosaic bitcast is vector-only, so the
+        masked scalar words are broadcast to lane shape before the bf16
+        unpack; the slab math consumes the broadcast vectors directly."""
+        row = p >> 5
+        j = p & 31
+        base8 = row & jnp.int32(-8)
+        w = nodes_ref[pl.ds(base8, 8), :]           # (8, 128)
+        w = pltpu.roll(w, (128 - (j << 2)) & 127, axis=1)
+        node_win[:, :] = w
+        s = row & 7
+
+        def unpk(word):
+            hi = jnp.full(LANES, word & jnp.int32(-65536), jnp.int32)
+            lo = jnp.full(LANES, word << 16, jnp.int32)
             return (jax.lax.bitcast_convert_type(hi, jnp.float32),
                     jax.lax.bitcast_convert_type(lo, jnp.float32))
 
-        bx0, bx1 = unpk(nodes_ref[p, 0])
-        by0, by1 = unpk(nodes_ref[p, 1])
-        bz0, bz1 = unpk(nodes_ref[p, 2])
-        return bx0, by0, bz0, bx1, by1, bz1, nodes_ref[p, 3]
+        bx0, bx1 = unpk(node_win[s, 0])
+        by0, by1 = unpk(node_win[s, 1])
+        bz0, bz1 = unpk(node_win[s, 2])
+        return bx0, by0, bz0, bx1, by1, bz1, node_win[s, 3]
 
     if leaf_resident:
         # Whole leaf table in VMEM: no DMA, scalar-index directly.
@@ -484,6 +509,7 @@ def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
             pltpu.VMEM((2, leaf_tris.shape[1]), jnp.float32),
             pltpu.VMEM(LANES, jnp.float32),
             pltpu.VMEM(LANES, jnp.float32),
+            pltpu.VMEM((8, 128), jnp.int32),
             (pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA),
         ],
         interpret=interpret,
@@ -511,13 +537,15 @@ class PallasBVH:
         ok = prim_id >= 0
         inv[prim_id[ok]] = np.nonzero(ok)[0].astype(np.int32)
         self.prim_to_row = jnp.asarray(inv)
-        # VMEM budget: nodes must fit on-core (v5e ~16 MB); small leaf
-        # tables ride along in VMEM too (no per-leaf DMA in the kernel).
+        # VMEM budget: the packed node table must fit on-core next to the
+        # kernel's working set (v5e VMEM = 128 MB; leave room for double
+        # buffering and the ray planes).  Small leaf tables may ride along
+        # in VMEM too (LEAF_VMEM_BYTES; currently disabled by measurement).
         node_bytes = self.nodes.size * 4
         leaf_bytes = self.leaf_tris.size * 4
         self.leaf_resident = (leaf_bytes <= LEAF_VMEM_BYTES
-                              and node_bytes + leaf_bytes <= 12 * 2 ** 20)
-        if node_bytes > 12 * 2 ** 20:
+                              and node_bytes + leaf_bytes <= 96 * 2 ** 20)
+        if node_bytes > 96 * 2 ** 20:
             raise ValueError(
                 f"BVH node table {node_bytes/2**20:.0f} MB exceeds the VMEM "
                 f"budget; raise leaf_size (nodes halve per doubling)")

@@ -23,9 +23,18 @@ SELECT_IMPL = "pallas"
 # and the Renderer switches to the BVH (below).
 PALLAS_MAX_PRIMS = 768
 
+# The whole-path MEGAKERNEL unrolls the table loop x every bounce, so its
+# scoped-VMEM footprint grows ~bounces x prims: measured on v5e, 22 prims
+# at rec10 compiles comfortably but 322 prims at rec4 exceeds the 16 MB
+# scoped-vmem limit by 41 MB (scripts/bvh_threshold_probe.py).  Scenes
+# between this cap and PALLAS_MAX_PRIMS use the per-bounce fused select
+# kernel instead (one bounce per launch — 1/bounces the scoped pressure).
+FUSED_MAX_PRIMS = 64
+
 # Renderer(accelerator="auto") switches triangles to the BVH above this
 # count.  Set to the Pallas cap: below it the fused megakernel (whole bounce
-# loop in VMEM) wins; above it the dense path would fall off the Pallas tier
-# entirely, and measured BVH traversal already beats the rt-grid scan well
-# below that point.  Measured on TPU v5e (docs/bvh_threshold.md).
+# loop in VMEM) wins by a wide margin — the threshold is a capability
+# boundary (past the cap the dense path falls off the Pallas tier to XLA
+# [rays x prims] grids), not a perf crossover.  Measurement on TPU v5e:
+# docs/bvh_threshold.md (scripts/bvh_threshold_probe.py).
 BVH_AUTO_THRESHOLD = PALLAS_MAX_PRIMS

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import PALLAS_MAX_PRIMS as MAX_PRIMS
+from ..config import FUSED_MAX_PRIMS as MAX_PRIMS
 from ..core import vecmath as vm
 from ..core.color import LUM_R, LUM_G, LUM_B
 from ..intersect import kernel_body as kb
@@ -355,8 +355,10 @@ def _run(ox, oy, oz, dx, dy, dz, u, tf, ti, sf, si, pf, pi, mf, scf,
     )(ox, oy, oz, dx, dy, dz, u, tf, ti, sf, si, pf, pi, mf, scf)
 
 
-# The kernel unrolls the table and material loops; route bigger scenes to
-# the dispatch/BVH paths (MAX_PRIMS is config.PALLAS_MAX_PRIMS).
+# The kernel unrolls the table and material loops ACROSS EVERY BOUNCE;
+# route bigger scenes to the per-bounce dispatch kernels or the BVH
+# (MAX_PRIMS is config.FUSED_MAX_PRIMS — tighter than the per-bounce
+# kernels' PALLAS_MAX_PRIMS because scoped VMEM scales with the unroll).
 
 
 def fits(scene: SceneArrays) -> bool:

@@ -30,13 +30,13 @@ o, d = cam_mod.center_rays(camera, px, py)
 eps_b, eps_p = vm.near_enough(o.dtype), _position_eps(o.dtype)
 
 t0 = time.perf_counter()
-rows, any_ = pb.select(o, d, None, eps_b, eps_p)
+rows, any_, _t = pb.select(o, d, None, eps_b, eps_p)
 rows_h = jax.device_get(rows)
 print(f"compile+first run: {time.perf_counter()-t0:.1f}s", flush=True)
 
 t0 = time.perf_counter()
 for _ in range(5):
-    rows, any_ = pb.select(o, d, None, eps_b, eps_p)
+    rows, any_, _t = pb.select(o, d, None, eps_b, eps_p)
 rows_h = jax.device_get(rows)
 dt = (time.perf_counter() - t0) / 5
 R = size * size
