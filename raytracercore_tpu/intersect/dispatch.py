@@ -515,20 +515,41 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
             except ValueError:
                 sphere_bvh = None
         if sphere_bvh is not None:
-            accel_mask_j = jnp.asarray(accel_mask)
+            # COMPACT dense view: only the non-accelerated rows (a masked
+            # full-size table would still compute the whole [R, S] grid —
+            # at 100k accelerated spheres that is the entire cost the BVH
+            # exists to remove).  Built host-side from the concrete scene;
+            # selection is stop-grad so constants are fine.
+            keep = ~accel_mask & (sph_np_pid >= 0)
+            row_map = jnp.asarray(_np.nonzero(keep)[0].astype(_np.int32)) \
+                if keep.any() else None
+            if row_map is not None:
+                sp = scene.spheres
+                tk = lambda a: jnp.asarray(_np.asarray(a)[keep])
+                dense_view = sp.replace(
+                    center=tk(sp.center), radius=tk(sp.radius),
+                    obj_to_world=tk(sp.obj_to_world),
+                    world_to_obj=tk(sp.world_to_obj),
+                    normal_mat=tk(sp.normal_mat),
+                    transformed=tk(sp.transformed),
+                    prim_id=tk(sp.prim_id))
 
             def sphere_select_fn(scene_sg, o_sg, d_sg, skip_sg, eps_pos):
                 on_tpu = jax.default_backend() == "tpu"
                 if not (on_tpu or traversal == "pallas"):
                     return _sphere_select(scene_sg, o_sg, d_sg, skip_sg,
                                           eps_pos)
-                # Dense pass over the NON-accelerated rows only.
-                masked = scene_sg.spheres.replace(
-                    prim_id=jnp.where(accel_mask_j, -1,
-                                      scene_sg.spheres.prim_id))
-                idx_d, use_near_d, any_d, t_d = _sphere_select_rt(
-                    scene_sg.replace(spheres=masked), o_sg, d_sg, skip_sg,
-                    eps_pos, want_t=True)
+                R = o_sg.shape[0]
+                if row_map is not None:
+                    idx_c, use_near_d, any_d, t_d = _sphere_select_rt(
+                        scene_sg.replace(spheres=dense_view), o_sg, d_sg,
+                        skip_sg, eps_pos, want_t=True)
+                    idx_d = jnp.take(row_map, idx_c)
+                else:
+                    idx_d = jnp.zeros((R,), jnp.int32)
+                    use_near_d = jnp.zeros((R,), bool)
+                    any_d = jnp.zeros((R,), bool)
+                    t_d = jnp.full((R,), jnp.inf, o_sg.dtype)
                 row_b, any_b, t_b = sphere_bvh.select(
                     o_sg, d_sg, skip_sg, vm.near_enough(o_sg.dtype),
                     eps_pos, interpret=not on_tpu, sort=do_sort)
