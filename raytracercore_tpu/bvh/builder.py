@@ -121,7 +121,7 @@ def _build(idx, bmin, bmax, centers, leaf_size, n_bins=16):
 
 
 def build_boxes_bvh(bmin: np.ndarray, bmax: np.ndarray, valid: np.ndarray,
-                    leaf_size: int = 4, dtype=jnp.float32,
+                    leaf_size: int = 64, dtype=jnp.float32,
                     backend: str = "auto") -> BVHArrays:
     """Build a skip-link BVH over arbitrary per-row AABBs.
 
@@ -208,7 +208,7 @@ def build_boxes_bvh(bmin: np.ndarray, bmax: np.ndarray, valid: np.ndarray,
 
 def build_triangle_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                        mirror: np.ndarray, valid: np.ndarray,
-                       leaf_size: int = 4, dtype=jnp.float32,
+                       leaf_size: int = 64, dtype=jnp.float32,
                        backend: str = "auto") -> BVHArrays:
     """Build a skip-link BVH over the valid rows of a triangle table."""
     bmin, bmax = triangle_bounds(v0, e1, e2, mirror)
@@ -233,14 +233,20 @@ def build_sphere_bvh(center: np.ndarray, radius: np.ndarray,
     return build_boxes_bvh(bmin, bmax, valid, leaf_size, dtype, backend)
 
 
-def auto_leaf_size(n_tris: int, requested: int = 4,
+def auto_leaf_size(n_tris: int, requested: int = 64,
                    vmem_budget_bytes: int = 12 * 2 ** 20) -> int:
     """Smallest leaf size ≥ ``requested`` whose packed node table fits the
     Pallas traversal's VMEM budget (pallas_traverse.PallasBVH keeps the
     whole [N, 4] i32 node table on-core; nodes ≈ 2·ceil(T/leaf), halving
     per leaf-size doubling).  Keeps the flagship kernel reachable at 1M
     triangles instead of silently falling back to the XLA walk
-    (VERDICT r2 missing #1)."""
+    (VERDICT r2 missing #1).
+
+    ``requested`` defaults to 64 — measured round 4 (46k-triangle scene,
+    v5e): iteration-synchronized node visits cost ~0.5-1 us per 8-chain
+    iteration while batched leaf tests are sync-free vector work, so wide
+    leaves win: bounce-wavefront traversal ran 326/179/142/118 ms per
+    262k-ray segment at leaf 4/16/32/64 (scripts/probe_walk_stats.py)."""
     leaf = max(int(requested), 1)
     while leaf < 1024:
         est_nodes = 2 * -(-n_tris // leaf) + 1

@@ -5,23 +5,41 @@ every ray one node per iteration with per-lane gathers; measured on TPU v5e
 it runs ~25,000x slower than the dense Pallas path (15k rays/sec at 2.9k
 tris).  TPUs have no per-lane gather — data-dependent access must be
 scalar-driven (pallas_guide.md: dynamic slices / scalar prefetch), so the
-TPU-native design makes traversal decisions at *block* granularity:
+TPU-native design makes traversal decisions at *beam* granularity.
 
-* each grid program owns a block of 1024 rays, laid out (8, 128) on the VPU;
-* the whole node table lives in VMEM packed [N, 8] f32 (bmin, bmax, skip,
-  leaf-slot — ints stored as exact-below-2^24 floats), read with scalar
-  dynamic indices;
-* the block walks the skip-link preorder ONCE: a subtree is entered when
-  ANY live lane's slab test enters the node's box (a "beam" traversal —
-  the block visits the union of its rays' node sets, so coherent blocks
-  approach per-ray traversal cost while the worst case is bounded by the
-  preorder walk);
-* leaf triangles are packed contiguously per leaf ([L, K*16] f32 rows in
-  HBM), fetched by scalar-indexed async DMA into VMEM scratch — never
-  gathered per lane — and tested against all 1024 lanes with the same
-  Möller–Trumbore + invert/two-sided/skip-hit semantics as the dense
-  selection (kernel_body.triangle_pass / Triangle.cs:148-224,
-  Primitive.cs:46-75).
+Round-4 kernel ("octo-walk"): the round-3 kernel walked one 1024-ray beam
+per grid program and paid ~270 ns per node visit (4 scalar loads + an
+any-lane reduce + a data-dependent branch — docs/SCALE.md).  This kernel
+restructures the walk around the three levers that budget identified:
+
+* **8 independent 128-ray sub-beams** per 1024-ray block, one per VPU
+  sublane row.  Each sub-beam walks the skip-link preorder with its OWN
+  position pointer, so each walks only the union of *its* 128 rays' node
+  sets (the round-3 beam walked the union of all 1024 — measured ~8x
+  redundancy for sorted secondary rays, scripts/beam_model.py), and the 8
+  pointer chains give the scalar core 8 independent dependency chains to
+  pipeline.
+* **Batched node testing**: per iteration the 8 chains' packed node
+  records are gathered into one (8, 4) scratch row-set (vector fetch +
+  lane/sublane roll per chain, one masked combine, one store), unpacked as
+  (8, 1) box planes, and slab-tested against all 8 sub-beams in ONE
+  (8, 128) vector pass — the vector cost of one round-3 visit now covers 8
+  visits.  Any-hit is a per-row lane reduce; the 8 branch decisions read
+  one (8, 1) bit plane with static-index scalar loads.
+* **Per-row leaf broadcast**: a chain entering a leaf parks it as
+  "pending" (starting its DMA into that chain's row of an (8, K·F) leaf
+  scratch) and keeps walking; when no chain can advance without a flush,
+  all pending leaves are tested in ONE batched pass — each sublane row
+  tests its own leaf's K records against its own 128 rays, so up to 8
+  leaves ride a single set of Möller–Trumbore vector ops, and the DMAs
+  overlap the walking between flushes.
+
+The leaf tests mirror the dense selection semantics exactly
+(kernel_body.triangle_pass / Triangle.cs:148-224, Primitive.cs:46-75);
+per-ray results are bit-identical to the per-ray skip-link walk: each ray's
+leaves are processed in preorder order (a conservative superset — a leaf
+box no lane of the row enters contributes no accepted hit), and the strict
+``t <`` update keeps the earliest-preorder winner on ties.
 
 Traversal returns only (winning row, t) per ray; the dispatch layer
 re-evaluates the winner differentiably (dispatch._triangle_winner_eval).
@@ -41,6 +59,7 @@ from .builder import BVHArrays
 
 BLOCK = 1024           # rays per grid program, shaped (8, 128)
 LANES = (8, 128)
+CHAINS = 8             # independent 128-ray sub-beams per block
 TRI_F = 16             # packed floats per leaf triangle (see pack_leaf_tris)
 SPH_F = 8              # packed floats per leaf sphere (see pack_leaf_spheres)
 NEG = -1.0
@@ -74,7 +93,7 @@ def _bf16_up(v: np.ndarray) -> np.ndarray:
 def pack_nodes4(bvh: BVHArrays) -> np.ndarray:
     """Compact [N, 4] i32 node table — HALF the scalar loads per walked
     node, the measured bottleneck of the traversal loop (~17 ns per scalar
-    VMEM load on v5e; 8 loads/node dominated the old iteration):
+    VMEM load on v5e; 8 loads/node dominated the round-2 iteration):
 
       w0..w2: per-axis box slab packed as two bf16 halves of one i32 word
               (hi = bmin rounded DOWN, lo = bmax rounded UP — conservative,
@@ -87,10 +106,8 @@ def pack_nodes4(bvh: BVHArrays) -> np.ndarray:
     128-lane row.  A VMEM [N, 4] layout lane-pads the minor dimension to
     128 (32x blowup: 179 MB for the 1M-triangle tree), and Mosaic scalar
     loads cannot use a dynamic LANE index, so the kernel fetches an
-    8-aligned (8, 128) row window with a dynamic-slice vector load, lane-
-    rolls the record's four words to lanes 0..3, bounces the window
-    through a VMEM scratch, and scalar-reads [row & 7, 0..3] (dynamic
-    sublane + static lane — the allowed combination).
+    8-aligned (8, 128) row window with a dynamic-slice vector load and
+    lane/sublane-rolls the wanted record into a fixed position.
     """
     bmin = np.asarray(bvh.bmin, np.float32)
     bmax = np.asarray(bvh.bmax, np.float32)
@@ -151,7 +168,15 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
     pid = np.maximum(prim_id[rows], 0)
     out[:, :K, 14] = (invert[pid] & valid).astype(np.float32)
     out[:, :K, 15] = (two_sided[pid] | ~valid).astype(np.float32)
-    return out.reshape(L, K_pad * TRI_F)
+    out = out.reshape(L, K_pad * TRI_F)
+    # Pad rows to a multiple of 8: the resident-mode flush fetches an
+    # 8-aligned (8, W) window around each pending slot.
+    L_pad = (-L) % 8
+    if L_pad:
+        pad = np.zeros((L_pad, K_pad * TRI_F), np.float32)
+        pad[:, 12::TRI_F] = -1.0
+        out = np.concatenate([out, pad])
+    return out
 
 
 def pack_leaf_spheres(bvh: BVHArrays, sph, mats) -> np.ndarray:
@@ -182,15 +207,24 @@ def pack_leaf_spheres(bvh: BVHArrays, sph, mats) -> np.ndarray:
     pid = np.maximum(prim_id[rows], 0)
     out[:, :K, 5] = (invert[pid] & valid).astype(np.float32)
     out[:, :K, 6] = (two_sided[pid] | ~valid).astype(np.float32)
-    return out.reshape(L, K_pad * SPH_F)
+    out = out.reshape(L, K_pad * SPH_F)
+    L_pad = (-L) % 8
+    if L_pad:
+        pad = np.zeros((L_pad, K_pad * SPH_F), np.float32)
+        pad[:, 4::SPH_F] = -1.0
+        out = np.concatenate([out, pad])
+    return out
 
 
 def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
                      sk_row, sk_px, sk_py, sk_pz, sk_leaving, sk_inside,
-                     sk_scale, out_row, out_t,
-                     leaf_vmem, best_t_ref, best_row_ref, node_win, sem,
-                     *, n_nodes, K, eps_behind, eps_pos,
-                     leaf_resident=False, leaf_kind="tri"):
+                     sk_scale, out_row, out_t, *rest,
+                     n_nodes, K, eps_behind, eps_pos, leaf_kind="tri",
+                     want_stats=False, walk_only=False, leaf_resident=True):
+    if want_stats:
+        out_stats = rest[0]
+        rest = rest[1:]
+    (leaf_vmem, best_t_ref, best_row_ref, bits_ref, sems) = rest
     o_x = ox[:].reshape(LANES)
     o_y = oy[:].reshape(LANES)
     o_z = oz[:].reshape(LANES)
@@ -216,25 +250,14 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
     best_t_ref[:] = jnp.full(LANES, jnp.inf, jnp.float32)
     best_row_ref[:] = jnp.full(LANES, NEG, jnp.float32)
 
-    def slab(bx0, by0, bz0, bx1, by1, bz1):
-        tx0 = (bx0 - o_x) * inv_x
-        tx1 = (bx1 - o_x) * inv_x
-        ty0 = (by0 - o_y) * inv_y
-        ty1 = (by1 - o_y) * inv_y
-        tz0 = (bz0 - o_z) * inv_z
-        tz1 = (bz1 - o_z) * inv_z
-        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        return near, far
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, LANES, 0)
+    row_iota1 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
     def tri_test(m):
-        """One packed triangle (scalar reads via m(col)) vs all lanes.
-
-        Mirrors kernel_body.triangle_pass validity semantics exactly."""
+        """Per-row packed triangles ((8, 1) reads via m(col)) vs all lanes
+        — each sublane row tests ITS OWN pending leaf's record against its
+        own 128-ray sub-beam.  Mirrors kernel_body.triangle_pass validity
+        semantics exactly."""
         v0x, v0y, v0z = m(0), m(1), m(2)
         e1x, e1y, e1z = m(3), m(4), m(5)
         e2x, e2y, e2z = m(6), m(7), m(8)
@@ -283,11 +306,11 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         return ok, tt, row
 
     def sph_test(m):
-        """One packed untransformed sphere (scalar reads via m(col)) vs
-        all lanes: the quadratic of Sphere.DoRayTrace (Sphere.cs:175-209)
-        with both roots, two-sided/invert filtering and the skip-hit rule
-        applied per root, preferring the near root (the reference's
-        ordered candidate scan)."""
+        """Per-row packed untransformed spheres ((8, 1) reads via m(col))
+        vs all lanes: the quadratic of Sphere.DoRayTrace
+        (Sphere.cs:175-209) with both roots, two-sided/invert filtering and
+        the skip-hit rule applied per root, preferring the near root (the
+        reference's ordered candidate scan)."""
         cx, cy, cz, r = m(0), m(1), m(2), m(3)
         row = m(4)
         inv_f = m(5) != 0
@@ -326,162 +349,220 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
     rec_f = TRI_F if leaf_kind == "tri" else SPH_F
     leaf_test = tri_test if leaf_kind == "tri" else sph_test
 
-    def process(b):
-        """Test the K records staged in leaf_vmem[b] (static b)."""
+    def start_dma(r, si):
+        pltpu.make_async_copy(leaf_hbm.at[pl.ds(si, 1), :],
+                              leaf_vmem.at[pl.ds(r, 1), :],
+                              sems.at[r]).start()
+
+    def flush(pends):
+        """Stage the 8 pending leaves and run ONE batched leaf pass:
+        sublane row r tests chain r's pending leaf (masked where none
+        pends).
+
+        Resident mode (the default whenever node+leaf tables fit VMEM):
+        assemble each pending row with an aligned vector fetch + sublane
+        roll from the resident leaf table — measured round 4, the DMA
+        path's per-flush semaphore waits cost ~12.5 us (the flush fires
+        right after the blocking chain's take, so its copy is still in
+        flight), which dominated the whole traversal."""
+        if leaf_resident:
+            W = leaf_vmem.shape[1]
+            riw = jax.lax.broadcasted_iota(jnp.int32, (CHAINS, W), 0)
+            acc2 = jnp.zeros((CHAINS, W), jnp.float32)
+            for r in range(CHAINS):
+                si = jnp.maximum(pends[r], 0)
+                w = leaf_hbm[pl.ds(pl.multiple_of(si & jnp.int32(-8), 8),
+                                   8), :]
+                w = pltpu.roll(w, (r - (si & 7)) & 7, axis=0)
+                acc2 = jnp.where(riw == r, w, acc2)
+            leaf_vmem[:] = acc2
+        else:
+            for r in range(CHAINS):
+                @pl.when(pends[r] >= 0)
+                def _w(r=r):
+                    pltpu.make_async_copy(
+                        leaf_hbm.at[pl.ds(0, 1), :],
+                        leaf_vmem.at[pl.ds(r, 1), :], sems.at[r]).wait()
+        # Row mask as i32 (Mosaic rejects selects on 1-bit vectors).
+        mi = jnp.zeros((8, 1), jnp.int32)
+        for r in range(CHAINS):
+            mi = jnp.where(row_iota1 == r,
+                           (pends[r] >= 0).astype(jnp.int32), mi)
+        maskb = mi != 0
         for k in range(K):
             ok, tt, row = leaf_test(
-                lambda c, k=k: leaf_vmem[b, k * rec_f + c])
-            better = ok & (tt < best_t_ref[:])
+                lambda c, k=k: leaf_vmem[:, k * rec_f + c:k * rec_f + c + 1])
+            better = ok & (tt < best_t_ref[:]) & maskb
             best_t_ref[:] = jnp.where(better, tt, best_t_ref[:])
             best_row_ref[:] = jnp.where(better, row, best_row_ref[:])
 
-    def node_fields(p):
-        """Decode one packed node (pack_nodes4 layout): vector-fetch an
-        8-aligned row window, lane-roll record p's four words to lanes
-        0..3, bounce through VMEM scratch, scalar-read with a dynamic
-        SUBLANE + static LANE index (the combination Mosaic allows; a
-        dynamic lane index does not compile, and an un-windowed [N, 4]
-        table would lane-pad 32x).  Mosaic bitcast is vector-only, so the
-        masked scalar words are broadcast to lane shape before the bf16
-        unpack; the slab math consumes the broadcast vectors directly."""
-        row = p >> 5
-        j = p & 31
-        base8 = row & jnp.int32(-8)
-        w = nodes_ref[pl.ds(base8, 8), :]           # (8, 128)
-        w = pltpu.roll(w, (128 - (j << 2)) & 127, axis=1)
-        node_win[:, :] = w
-        s = row & 7
+    p_last = jnp.int32(n_nodes - 1)
+    N_STATS = 5  # iters, visits, leaf-takes, flushes, flush-fill
 
-        def unpk(word):
-            hi = jnp.full(LANES, word & jnp.int32(-65536), jnp.int32)
-            lo = jnp.full(LANES, word << 16, jnp.int32)
-            return (jax.lax.bitcast_convert_type(hi, jnp.float32),
-                    jax.lax.bitcast_convert_type(lo, jnp.float32))
+    def body(carry):
+        ps = carry[:CHAINS]
+        pends = carry[CHAINS:2 * CHAINS]
+        stats = carry[2 * CHAINS:]
 
-        bx0, bx1 = unpk(node_win[s, 0])
-        by0, by1 = unpk(node_win[s, 1])
-        bz0, bz1 = unpk(node_win[s, 2])
-        return bx0, by0, bz0, bx1, by1, bz1, node_win[s, 3]
+        # --- Phase 1: gather the 8 chains' packed records into acc -------
+        # (record r's four words land at sublane r, lanes 0..3; pure
+        # vector values — no scratch round trip before the slab test)
+        acc = jnp.zeros(LANES, jnp.int32)
+        for r in range(CHAINS):
+            pe = jnp.minimum(ps[r], p_last)
+            rw = pe >> 5
+            j = pe & 31
+            w = nodes_ref[pl.ds(pl.multiple_of(rw & jnp.int32(-8), 8),
+                                8), :]
+            w = pltpu.roll(w, (128 - (j << 2)) & 127, axis=1)
+            w = pltpu.roll(w, (r - (rw & 7)) & 7, axis=0)
+            acc = jnp.where(row_iota == r, w, acc)
 
-    if leaf_resident:
-        # Whole leaf table in VMEM: no DMA, scalar-index directly.
-        def body(carry):
-            p, pend, buf = carry
-            bx0, by0, bz0, bx1, by1, bz1, w3 = node_fields(p)
-            near, far = slab(bx0, by0, bz0, bx1, by1, bz1)
-            hit = ((near <= far) & (far >= -eps_behind)
-                   & (near <= best_t_ref[:]))
-            anyhit = jnp.any(hit)
+        # --- Phase 2: one batched slab test (row r vs chain r's node) ----
+        def unpk(c):
+            word = jax.lax.slice(acc, (0, c), (8, c + 1))  # (8, 1) i32
+            hi = jax.lax.bitcast_convert_type(
+                word & jnp.int32(-65536), jnp.float32)
+            lo = jax.lax.bitcast_convert_type(word << 16, jnp.float32)
+            return hi, lo
+
+        bx0, bx1 = unpk(0)
+        by0, by1 = unpk(1)
+        bz0, bz1 = unpk(2)
+        tx0 = (bx0 - o_x) * inv_x
+        tx1 = (bx1 - o_x) * inv_x
+        ty0 = (by0 - o_y) * inv_y
+        ty1 = (by1 - o_y) * inv_y
+        tz0 = (bz0 - o_z) * inv_z
+        tz1 = (bz1 - o_z) * inv_z
+        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        hitv = ((near <= far) & (far >= -eps_behind)
+                & (near <= best_t_ref[:]))
+        # ONE store, ONE vector->scalar sync per iteration: lane 0 = the
+        # chain's link word, lane 1 = its any-hit bit.
+        w3col = jax.lax.slice(acc, (0, 3), (8, 4))
+        hitcol = jnp.max(hitv.astype(jnp.int32), axis=1, keepdims=True)
+        li128 = jax.lax.broadcasted_iota(jnp.int32, LANES, 1)
+        bits_ref[:] = jnp.where(li128 == 0, w3col,
+                                jnp.where(li128 == 1, hitcol, 0))
+
+        # --- Phase 3: per-chain scalar control ---------------------------
+        nxt, pend2, blocked, slots = [], [], [], []
+        for r in range(CHAINS):
+            w3 = bits_ref[r, 0]
+            hit_r = bits_ref[r, 1] > 0
             is_leaf = w3 < 0
+            active = ps[r] < n_nodes
+            if walk_only:  # timing attribution: no DMA, no flush, no leaf
+                nxt.append(jnp.where(
+                    active, jnp.where(is_leaf | hit_r, ps[r] + 1, w3),
+                    ps[r]))
+                pend2.append(pends[r])
+                blocked.append(active & (ps[r] < 0))  # constant False
+                slots.append(jnp.int32(-1))
+                continue
+            want_leaf = active & hit_r & is_leaf
+            has_pend = pends[r] >= 0
+            take = want_leaf & jnp.logical_not(has_pend)
+            blk = want_leaf & has_pend
+            slot = -w3 - 1
 
-            @pl.when(anyhit & is_leaf)
-            def _leaf():
-                si = -w3 - 1
-                for k in range(K):
-                    ok, tt, row = leaf_test(
-                        lambda c, k=k: leaf_hbm[si, k * rec_f + c])
-                    better = ok & (tt < best_t_ref[:])
-                    best_t_ref[:] = jnp.where(better, tt, best_t_ref[:])
-                    best_row_ref[:] = jnp.where(better, row,
-                                                best_row_ref[:])
+            if not leaf_resident:
+                @pl.when(take)
+                def _s(r=r, slot=slot):
+                    start_dma(r, slot)
 
-            # A leaf's preorder escape is always p+1, so leaves advance
-            # linearly whether hit or not; internal misses take the skip.
-            nxt = jnp.where(is_leaf | anyhit, p + 1, w3)
-            return nxt, pend, buf
+            pend2.append(jnp.where(take, slot, pends[r]))
+            step = jnp.where(is_leaf | hit_r, ps[r] + 1, w3)
+            nxt.append(jnp.where(active & jnp.logical_not(blk),
+                                 step, ps[r]))
+            blocked.append(blk)
+            slots.append(slot)
 
-        jax.lax.while_loop(lambda c: c[0] < n_nodes, body,
-                           (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-    else:
-        # Double-buffered pipelined walk: entering a leaf STARTS its DMA
-        # (into the buffer the pending leaf is not using) and processes the
-        # PREVIOUSLY pending leaf while the copy flies — the walk between
-        # leaf hits hides the DMA latency that a blocking start+wait paid
-        # on every leaf.
-        sem0, sem1 = sem
+        # --- Phase 4: flush when no chain can advance without it ---------
+        can_go = False
+        for r in range(CHAINS):
+            can_go = can_go | ((ps[r] < n_nodes)
+                               & jnp.logical_not(blocked[r]))
+        do_flush = jnp.logical_not(can_go)
 
-        def start_into(b, si):
-            tgt = leaf_vmem.at[pl.ds(b, 1), :]
-            src = leaf_hbm.at[pl.ds(si, 1), :]
-            pltpu.make_async_copy(src, tgt, sem0 if b == 0 else sem1
-                                  ).start()
+        @pl.when(do_flush)
+        def _f():
+            flush(pend2)
 
-        def wait_for(b):
-            pltpu.make_async_copy(
-                leaf_hbm.at[pl.ds(0, 1), :], leaf_vmem.at[pl.ds(b, 1), :],
-                sem0 if b == 0 else sem1).wait()
+        # Post-flush, a blocked chain takes the leaf it was waiting on and
+        # advances in the SAME iteration (saves one full stall iteration
+        # per blocked chain per flush).  DMA mode starts its copy here.
+        retake = [do_flush & blocked[r] for r in range(CHAINS)]
+        if not leaf_resident and not walk_only:
+            for r in range(CHAINS):
+                @pl.when(retake[r])
+                def _s2(r=r):
+                    start_dma(r, slots[r])
+        pend3 = tuple(
+            jnp.where(do_flush,
+                      jnp.where(retake[r], slots[r], jnp.int32(-1)),
+                      pend2[r])
+            for r in range(CHAINS))
+        nxt = [jnp.where(retake[r], ps[r] + 1, nxt[r])
+               for r in range(CHAINS)]
+        if want_stats:
+            n_vis = jnp.int32(0)
+            n_take = jnp.int32(0)
+            n_fill = jnp.int32(0)
+            for r in range(CHAINS):
+                n_vis = n_vis + ((ps[r] < n_nodes)
+                                 & jnp.logical_not(blocked[r])
+                                 ).astype(jnp.int32)
+                n_take = n_take + (pend2[r] != pends[r]).astype(jnp.int32) \
+                    + retake[r].astype(jnp.int32)
+                n_fill = n_fill + (do_flush
+                                   & (pend2[r] >= 0)).astype(jnp.int32)
+            stats = (stats[0] + 1, stats[1] + n_vis, stats[2] + n_take,
+                     stats[3] + do_flush.astype(jnp.int32),
+                     stats[4] + n_fill)
+        return tuple(nxt) + pend3 + stats
 
-        def body(carry):
-            p, pend, buf = carry
-            bx0, by0, bz0, bx1, by1, bz1, w3 = node_fields(p)
-            near, far = slab(bx0, by0, bz0, bx1, by1, bz1)
-            hit = ((near <= far) & (far >= -eps_behind)
-                   & (near <= best_t_ref[:]))
-            anyhit = jnp.any(hit)
-            is_leaf = w3 < 0
-            enter = anyhit & is_leaf
-            si = -w3 - 1
-            # New leaf lands in the buffer the pending one is NOT in.
-            nb = jnp.where(pend != 0, 1 - buf, buf)
+    def cond(carry):
+        alive = False
+        for r in range(CHAINS):
+            alive = alive | (carry[r] < n_nodes)
+        return alive
 
-            @pl.when(enter & (nb == 0))
-            def _s0():
-                start_into(0, si)
-
-            @pl.when(enter & (nb == 1))
-            def _s1():
-                start_into(1, si)
-
-            @pl.when(enter & (pend != 0) & (buf == 0))
-            def _p0():
-                wait_for(0)
-                process(0)
-
-            @pl.when(enter & (pend != 0) & (buf == 1))
-            def _p1():
-                wait_for(1)
-                process(1)
-
-            # Leaves always escape to p+1 (preorder); internal misses skip.
-            nxt = jnp.where(is_leaf | anyhit, p + 1, w3)
-            pend2 = jnp.where(enter, 1, pend)
-            buf2 = jnp.where(enter, nb, buf)
-            return nxt, pend2, buf2
-
-        _, pend, buf = jax.lax.while_loop(
-            lambda c: c[0] < n_nodes, body,
-            (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-
-        @pl.when((pend != 0) & (buf == 0))
-        def _f0():
-            wait_for(0)
-            process(0)
-
-        @pl.when((pend != 0) & (buf == 1))
-        def _f1():
-            wait_for(1)
-            process(1)
+    init = tuple(jnp.int32(0) for _ in range(CHAINS)) \
+        + tuple(jnp.int32(-1) for _ in range(CHAINS)) \
+        + ((jnp.int32(0),) * N_STATS if want_stats else ())
+    final = jax.lax.while_loop(cond, body, init)
+    flush(final[CHAINS:2 * CHAINS])
+    if want_stats:
+        # Scalar stores to VMEM are rejected — build the counter row as a
+        # vector via iota selects and store once (block shape (1024,) to
+        # match the XLA layout of the ray-sized outputs).
+        li = jax.lax.broadcasted_iota(jnp.int32, LANES, 1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, LANES, 0)
+        vec = jnp.zeros(LANES, jnp.float32)
+        for c in range(N_STATS):
+            vec = jnp.where((ri == 0) & (li == c),
+                            final[2 * CHAINS + c].astype(jnp.float32), vec)
+        out_stats[:] = vec.reshape(-1)
 
     out_row[:] = best_row_ref[:].reshape(-1)
     out_t[:] = best_t_ref[:].reshape(-1)
 
 
-# Leaf tables at or under this size ride whole in VMEM (no per-leaf DMA);
-# beyond it they stay in HBM behind scalar-indexed async copies.  Measured
-# on v5e (2.9k tris, primary select): resident 63.5 ms vs DMA 51.9 ms —
-# scalar VMEM reads with large dynamic 2-D offsets LOSE to the DMA +
-# small-scratch path, so residency is disabled; the knob is kept for
-# hardware where scalar VMEM loads are cheaper.
-LEAF_VMEM_BYTES = 0
-
-
 @functools.partial(jax.jit,
                    static_argnames=("n_nodes", "K", "interpret",
-                                    "eps_behind", "eps_pos",
-                                    "leaf_resident", "leaf_kind"))
+                                    "eps_behind", "eps_pos", "leaf_kind",
+                                    "want_stats", "walk_only",
+                                    "leaf_resident"))
 def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
-                   eps_behind, eps_pos, interpret=False,
-                   leaf_resident=False, leaf_kind="tri"):
+                   eps_behind, eps_pos, interpret=False, leaf_kind="tri",
+                   want_stats=False, walk_only=False, leaf_resident=True):
     R = rays[0].shape[0]
     assert R % BLOCK == 0
     grid = (R // BLOCK,)
@@ -492,29 +573,36 @@ def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
     kernel = functools.partial(
         _traverse_kernel, n_nodes=n_nodes, K=K,
         eps_behind=float(eps_behind), eps_pos=float(eps_pos),
-        leaf_resident=leaf_resident, leaf_kind=leaf_kind)
-    leaf_spec = full(leaf_tris) if leaf_resident \
-        else pl.BlockSpec(memory_space=pl.ANY)
-    out_row, out_t = pl.pallas_call(
+        leaf_kind=leaf_kind, want_stats=want_stats, walk_only=walk_only,
+        leaf_resident=leaf_resident)
+    out_shape = [jax.ShapeDtypeStruct((R,), jnp.float32),
+                 jax.ShapeDtypeStruct((R,), jnp.float32)]
+    out_specs = [ray_spec, ray_spec]
+    if want_stats:
+        out_shape.append(jax.ShapeDtypeStruct((R,), jnp.float32))
+        out_specs.append(ray_spec)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             full(nodes),                           # node table: whole, VMEM
-            leaf_spec,                             # leaf tris: VMEM or HBM
+            # Leaf records: resident in VMEM when they fit (with the node
+            # table), else HBM behind scalar-indexed async copies.
+            full(leaf_tris) if leaf_resident
+            else pl.BlockSpec(memory_space=pl.ANY),
         ] + [ray_spec] * 13,
-        out_specs=(ray_spec, ray_spec),
-        out_shape=(jax.ShapeDtypeStruct((R,), jnp.float32),
-                   jax.ShapeDtypeStruct((R,), jnp.float32)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((2, leaf_tris.shape[1]), jnp.float32),
+            pltpu.VMEM((CHAINS, leaf_tris.shape[1]), jnp.float32),
             pltpu.VMEM(LANES, jnp.float32),
             pltpu.VMEM(LANES, jnp.float32),
-            pltpu.VMEM((8, 128), jnp.int32),
-            (pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA),
+            pltpu.VMEM(LANES, jnp.int32),
+            pltpu.SemaphoreType.DMA((CHAINS,)),
         ],
         interpret=interpret,
     )(nodes, leaf_tris, *rays, *skip_fields)
-    return out_row, out_t
+    return out
 
 
 class PallasBVH:
@@ -538,13 +626,13 @@ class PallasBVH:
         inv[prim_id[ok]] = np.nonzero(ok)[0].astype(np.int32)
         self.prim_to_row = jnp.asarray(inv)
         # VMEM budget: the packed node table must fit on-core next to the
-        # kernel's working set (v5e VMEM = 128 MB; leave room for double
-        # buffering and the ray planes).  Small leaf tables may ride along
-        # in VMEM too (LEAF_VMEM_BYTES; currently disabled by measurement).
+        # kernel's working set (v5e VMEM = 128 MB; leave room for the leaf
+        # scratch and the ray planes).  The leaf table rides resident too
+        # whenever it fits — the DMA path's per-flush semaphore waits
+        # measured ~12.5 us each (round 4), dominating traversal.
         node_bytes = self.nodes.size * 4
         leaf_bytes = self.leaf_tris.size * 4
-        self.leaf_resident = (leaf_bytes <= LEAF_VMEM_BYTES
-                              and node_bytes + leaf_bytes <= 96 * 2 ** 20)
+        self.leaf_resident = node_bytes + leaf_bytes <= 100 * 2 ** 20
         if node_bytes > 96 * 2 ** 20:
             raise ValueError(
                 f"BVH node table {node_bytes/2**20:.0f} MB exceeds the VMEM "
@@ -555,7 +643,7 @@ class PallasBVH:
         Morton code of the origin within the root AABB.
 
         Secondary bounce rays arrive in pixel order but scattered in space;
-        blocks of 1024 pixel-ordered rays then span much of the scene and
+        sub-beams of 128 pixel-ordered rays then span much of the scene and
         the beam union degrades toward the full preorder walk.  Sorting by
         (octant, origin locality) re-forms tight beams. Parked dead lanes
         (origin 4e8) all share one key bucket and compact together.
@@ -581,7 +669,9 @@ class PallasBVH:
         return (octant << 18) | morton
 
     def select(self, ray_o, ray_d, skip, eps_behind, eps_pos,
-               interpret=False, sort: bool = False):
+               interpret=False, sort: bool = False, want_stats=False,
+               walk_only=False):
+        # (leaf residency is decided per-instance in _init_common)
         """(best_row [R] i32 or -1, any [R] bool) — dispatch tri_select.
 
         ``sort=True`` permutes rays into (octant, Morton) order before the
@@ -634,17 +724,22 @@ class PallasBVH:
             idx_s = out[1]
             rays, sk = out[2:8], out[8:]
 
-        row, t = _traverse_call(
+        out = _traverse_call(
             self.nodes, self.leaf_tris, rays, sk,
             n_nodes=self.n_nodes, K=self.K,
             eps_behind=float(eps_behind), eps_pos=float(eps_pos),
-            interpret=interpret, leaf_resident=self.leaf_resident,
-            leaf_kind=self.leaf_kind)
+            interpret=interpret, leaf_kind=self.leaf_kind,
+            want_stats=want_stats, walk_only=walk_only,
+            leaf_resident=self.leaf_resident)
+        row, t = out[0], out[1]
         if idx_s is not None:
             # Un-permute by sorting back on the carried original index.
             _, row, t = jax.lax.sort((idx_s, row, t), num_keys=1)
         row = row[:R].astype(jnp.int32)
-        return jnp.maximum(row, 0), row >= 0, t[:R]
+        res = jnp.maximum(row, 0), row >= 0, t[:R]
+        if want_stats:
+            return res + (out[2].reshape(-1, BLOCK)[:, :8],)
+        return res
 
 
 class PallasSphereBVH(PallasBVH):

@@ -475,7 +475,11 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
 
     do_sort = sort
     if do_sort is None:
-        do_sort = pallas_bvh is not None and pallas_bvh.n_nodes > 4096
+        # Key on covered primitives (nodes x leaf width), not node count —
+        # wide-leaf trees (the round-4 default) have few nodes even for
+        # large scenes.
+        do_sort = (pallas_bvh is not None
+                   and pallas_bvh.n_nodes * pallas_bvh.K > 16384)
 
     def tri_select_bvh(scene_sg, o_sg, d_sg, skip_sg, eps_behind, eps_pos):
         on_tpu = jax.default_backend() == "tpu"

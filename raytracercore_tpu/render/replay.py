@@ -50,8 +50,8 @@ from ..core import vecmath as vm
 from ..core.color import LUM_B, LUM_G, LUM_R
 from ..intersect.dispatch import closest_hit
 from ..scene.types import SceneArrays
-from .integrator import (BounceType, PathTape, _material_matrix,
-                         prepare_uniforms, trace)
+from .integrator import (ONEHOT_MAX_ROWS, BounceType, PathTape,
+                         _material_matrix, prepare_uniforms, trace)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -133,11 +133,16 @@ def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
         # One [C, N] @ [N, R] matmul gathers every material column.
         # precision=HIGHEST: the TPU default matmul rounds the gathered
         # values to bf16 (see integrator.gather_rows) — HIGHEST makes the
-        # one-hot matmul an exact row copy.
-        onehot_T = (row_ids[:, None] == jnp.maximum(prim, 0)[None, :]
-                    ).astype(dtype)
-        g = jnp.matmul(matm_T_b, onehot_T,        # [C, R] component planes
-                       precision=jax.lax.Precision.HIGHEST)
+        # one-hot matmul an exact row copy.  Past ONEHOT_MAX_ROWS
+        # (per-prim material tables at mesh scale) the O(N·R) one-hot is
+        # intractable; use the gather, whose transpose is a scatter-add.
+        if n <= ONEHOT_MAX_ROWS:
+            onehot_T = (row_ids[:, None] == jnp.maximum(prim, 0)[None, :]
+                        ).astype(dtype)
+            g = jnp.matmul(matm_T_b, onehot_T,    # [C, R] component planes
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            g = jnp.take(matm_T_b, jnp.maximum(prim, 0), axis=1)
         emission = (g[0], g[1], g[2])
         diffuse = (g[3], g[4], g[5])
         specular = (g[6], g[7], g[8])
@@ -284,7 +289,7 @@ def _default_record_fn(scene: SceneArrays, closest_fn):
 
 def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
                  closest_fn=closest_hit, record_fused=None,
-                 grad_axis: str | None = None):
+                 grad_axis: str | None = None, replay_kernel=None):
     """Drop-in for :func:`..render.integrator.trace` on the TRAIN path:
     same estimator, ~selection-free backward.  With ``record_fused=False``
     the (color, miss) values and gradients are bit-identical to ``trace``
@@ -321,5 +326,16 @@ def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
         record_fn = _default_record_fn(scene, closest_fn)
         tape = record_tape(scene, ray_o, ray_d, uniforms,
                            closest_fn=record_fn)
+    if replay_kernel is None:
+        # The Pallas replay kernel (replay_kernel.py): same estimator, ~f32
+        # round-off vs this module's XLA replay.  Single-device TPU f32
+        # only — the grad_axis path keeps the XLA replay's per-bounce
+        # overlapped psum schedule (tests pin its HLO).
+        replay_kernel = (jax.default_backend() == "tpu"
+                         and grad_axis is None
+                         and ray_o.dtype == jnp.float32)
+    if replay_kernel:
+        from .replay_kernel import replay_fused
+        return replay_fused(scene, ray_o, ray_d, uniforms, tape)
     return replay(scene, ray_o, ray_d, uniforms, tape,
                   grad_axis=grad_axis)

@@ -1,0 +1,366 @@
+"""Pallas replay kernel: the whole tape-replay bounce chain on-core.
+
+The XLA replay (:mod:`.replay`) is ~170 elementwise ops per bounce over [R]
+planes, but XLA materializes the fori_loop carry and the remat'd backward as
+dozens of small fusions with HBM round trips between bounces — measured on
+v5e (docs/TRAIN_STEP.md) the replay forward costs as much as the FULL
+megakernel forward (12.1 vs 12.2 ms) despite doing ~5% of the flops, and
+fwd+bwd 26.8 ms against a ~8 ms speed-of-light.
+
+This module keeps the same estimator but runs the shading chain inside one
+Pallas kernel per direction:
+
+* the MATERIAL GATHER stays in XLA: one ``[C, N] @ [N, B·R]`` one-hot matmul
+  (precision=HIGHEST — see integrator.gather_rows) produces every bounce's
+  gathered channels ``g`` up front, so the kernel consumes dense [B·C]
+  planes and the backward's scatter-add transpose is again a single MXU
+  matmul that XLA differentiates;
+* the FORWARD kernel walks the recorded path (uniforms + tape flags/normals
+  + ``g``) bounce-by-bounce entirely in VMEM/registers;
+* the BACKWARD kernel re-runs the forward sweep, stashing each bounce's
+  (direction, tint) carry in VMEM scratch (6 planes × bounces ≈ 0.3 MB per
+  1024-ray block), then runs the reverse sweep calling :func:`jax.vjp` on
+  the per-bounce shading function — the transpose is traced INTO the kernel,
+  so the hand-written part is only the sweep structure, not the derivative
+  math — and emits the cotangent ``dL/dg`` planes.
+
+``replay_fused(...)`` is a drop-in for :func:`.replay.replay` on TPU for
+f32 scenes; values/gradients match the XLA replay to f32 round-off (the op
+order differs inside a bounce), which the tests pin with tolerances.
+Semantics cite the same reference lines as replay.py (Raytracer.cs:65-246).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import vecmath as vm
+from ..core.color import LUM_B, LUM_G, LUM_R
+from .integrator import (ONEHOT_MAX_ROWS, BounceType, PathTape,
+                         _material_matrix)
+
+LANES = 128
+BM = 8
+BLOCK = BM * LANES
+C = 14  # material channels (see integrator._material_matrix)
+
+
+def _bounce_fwd(i, d, tint, result, g, u, flags, normal, air, ambient,
+                ambient_is_miss):
+    """One replay bounce (replay.body semantics, Raytracer.cs:65-246).
+
+    Diff inputs: d(3), tint(3), result(3), g(14 planes).  Everything else
+    rides the closure.  Returns (d', tint', result', is_miss)."""
+    if i % 3 == 0:
+        len_d = jnp.sqrt(vm.dot3(d, d))
+        d = (d[0] / len_d, d[1] / len_d, d[2] / len_d)
+
+    code = flags & PathTape.CODE_MASK
+    inside = (flags & PathTape.FLAG_INSIDE) != 0
+    f_live = (flags & PathTape.FLAG_FLIVE) != 0
+
+    emission = (g[0], g[1], g[2])
+    diffuse = (g[3], g[4], g[5])
+    specular = (g[6], g[7], g[8])
+    refraction = (g[9], g[10], g[11])
+    ior = g[12]
+    shininess = g[13]
+
+    z_shine = jnp.where(jnp.isinf(shininess), 1.0,
+                        jnp.exp(u[0] / shininess))
+    rough_n = vm.create_horizon3_cs(normal, z_shine, u[1], u[2])
+    cos = -vm.dot3(rough_n, d)
+
+    lum = lambda c: LUM_R * c[0] + LUM_G * c[1] + LUM_B * c[2]
+    diff_lum = lum(diffuse)
+    spec_lum = lum(specular)
+    refr_lum = lum(refraction)
+    emis_lum = lum(emission)
+
+    ior_in = jnp.where(inside, ior, air)
+    ior_out = jnp.where(inside, air, ior)
+    safe_out = jnp.where(ior_out == 0, 1.0, ior_out)
+    ior_ratio = ior_in / safe_out
+    sin_out = ior_ratio * vm.safe_sqrt(1.0 - cos * cos)
+    cos_out = vm.safe_sqrt(1.0 - sin_out * sin_out)
+    cos_f = jnp.where(f_live, cos, 1.0)
+    cos_out_f = jnp.where(f_live, cos_out, 1.0)
+    rs = ((ior_out * cos_f) - (ior_in * cos_out_f)) / \
+        ((ior_out * cos_f) + (ior_in * cos_out_f))
+    rp = ((ior_in * cos_f) - (ior_out * cos_out_f)) / \
+        ((ior_in * cos_f) + (ior_out * cos_out_f))
+    fresnel = (rs * rs + rp * rp) / 2.0
+
+    spec_lum = jnp.where(f_live, spec_lum * fresnel, spec_lum)
+    refr_lum = jnp.where(f_live, refr_lum * (1.0 - fresnel),
+                         jnp.zeros_like(refr_lum))
+    total_lum = diff_lum + spec_lum + refr_lum + emis_lum
+
+    te = (tint[0] * emission[0], tint[1] * emission[1],
+          tint[2] * emission[2])
+    terminal = ((code == BounceType.EMISSION)
+                | (code == BounceType.SPECULAR_FAIL)
+                | (code == BounceType.PURE_BLACK)
+                | (code == BounceType.RECURSION_COMPLETE))
+    result = vm.where3(terminal, te, result)
+
+    is_miss = code == BounceType.MISSED
+    if not ambient_is_miss:
+        result = vm.where3(is_miss & (i != 0), ambient, result)
+
+    pick_refr = code == BounceType.TRANSMITTED
+    pick_spec = code == BounceType.SPECULAR
+    pick_diff = code == BounceType.DIFFUSE
+    bounced = pick_refr | pick_spec | pick_diff
+
+    refr_dir = tuple(
+        rough_n[k] * (-cos_out) + (d[k] + rough_n[k] * cos) * ior_ratio
+        for k in range(3))
+    one = jnp.ones_like(cos)
+    refr_tint = vm.where3(inside, (one, one, one), refraction)
+    spec_dir = vm.reflect3(rough_n, d, cos)
+    diff_dir = vm.create_horizon3_cs(normal, u[4], u[5], u[6])
+
+    out_dir = vm.where3(pick_refr, refr_dir,
+                        vm.where3(pick_spec, spec_dir, diff_dir))
+    new_tint = vm.where3(pick_refr, refr_tint,
+                         vm.where3(pick_spec, specular, diffuse))
+    comp = jnp.maximum(total_lum, 1.0)
+    new_tint = vm.scale3(new_tint, comp)
+
+    d = vm.where3(bounced, out_dir, d)
+    tint = vm.where3(bounced,
+                     (tint[0] * new_tint[0], tint[1] * new_tint[1],
+                      tint[2] * new_tint[2]), tint)
+    return d, tint, result, is_miss
+
+
+def _read_bounce(i, u_ref, fl_ref, nx_ref, ny_ref, nz_ref, g_ref):
+    shape = (BM, LANES)
+    u = tuple(u_ref[i * 7 + ch].reshape(shape) for ch in range(7))
+    flags = fl_ref[i].reshape(shape)
+    normal = (nx_ref[i].reshape(shape), ny_ref[i].reshape(shape),
+              nz_ref[i].reshape(shape))
+    g = tuple(g_ref[i * C + c].reshape(shape) for c in range(C))
+    return u, flags, normal, g
+
+
+def _make_fwd_kernel(n_bounces, ambient_is_miss):
+    def kernel(dx, dy, dz, u_ref, fl_ref, nx_ref, ny_ref, nz_ref, g_ref,
+               scf, rr_o, rg_o, rb_o, miss_o):
+        shape = (BM, LANES)
+        air = scf[0, 0]
+        ambient = (scf[0, 1], scf[0, 2], scf[0, 3])
+        d = (dx[:].reshape(shape), dy[:].reshape(shape),
+             dz[:].reshape(shape))
+        one = jnp.ones(shape, jnp.float32)
+        zero = jnp.zeros(shape, jnp.float32)
+        tint = (one, one, one)
+        result = (zero, zero, zero)
+        miss = jnp.zeros(shape, jnp.int32)
+        for i in range(n_bounces):
+            u, flags, normal, g = _read_bounce(i, u_ref, fl_ref, nx_ref,
+                                               ny_ref, nz_ref, g_ref)
+            d, tint, result, is_miss = _bounce_fwd(
+                i, d, tint, result, g, u, flags, normal, air, ambient,
+                ambient_is_miss)
+            if ambient_is_miss or i == 0:
+                miss = miss | is_miss.astype(jnp.int32)
+        rr_o[:] = result[0].reshape(-1)
+        rg_o[:] = result[1].reshape(-1)
+        rb_o[:] = result[2].reshape(-1)
+        miss_o[:] = miss.reshape(-1)
+
+    return kernel
+
+
+def _make_bwd_kernel(n_bounces, ambient_is_miss):
+    def kernel(dx, dy, dz, u_ref, fl_ref, nx_ref, ny_ref, nz_ref, g_ref,
+               scf, ctr, ctg, ctb, gct_o, scr):
+        shape = (BM, LANES)
+        air = scf[0, 0]
+        ambient = (scf[0, 1], scf[0, 2], scf[0, 3])
+        d = (dx[:].reshape(shape), dy[:].reshape(shape),
+             dz[:].reshape(shape))
+        one = jnp.ones(shape, jnp.float32)
+        zero = jnp.zeros(shape, jnp.float32)
+        tint = (one, one, one)
+        result = (zero, zero, zero)
+
+        # Forward sweep: stash each bounce's entry (d, tint) carry.
+        for i in range(n_bounces):
+            for j, pl_ in enumerate(d + tint):
+                scr[i * 6 + j] = pl_
+            u, flags, normal, g = _read_bounce(i, u_ref, fl_ref, nx_ref,
+                                               ny_ref, nz_ref, g_ref)
+            d, tint, result, _ = _bounce_fwd(
+                i, d, tint, result, g, u, flags, normal, air, ambient,
+                ambient_is_miss)
+
+        # Reverse sweep: per-bounce vjp traced into the kernel.
+        zero3 = (zero, zero, zero)
+        d_ct = zero3
+        t_ct = zero3
+        r_ct = (ctr[:].reshape(shape), ctg[:].reshape(shape),
+                ctb[:].reshape(shape))
+        for i in reversed(range(n_bounces)):
+            u, flags, normal, g = _read_bounce(i, u_ref, fl_ref, nx_ref,
+                                               ny_ref, nz_ref, g_ref)
+            d_i = tuple(scr[i * 6 + j] for j in range(3))
+            tint_i = tuple(scr[i * 6 + 3 + j] for j in range(3))
+
+            def f(d3, tint3, result3, g14, i=i, u=u, flags=flags,
+                  normal=normal):
+                d2, t2, r2, _ = _bounce_fwd(i, d3, tint3, result3, g14, u,
+                                            flags, normal, air, ambient,
+                                            ambient_is_miss)
+                return d2, t2, r2
+
+            _, vjp_fn = jax.vjp(f, d_i, tint_i, zero3, g)
+            d_ct, t_ct, r_ct, g_ct = vjp_fn((d_ct, t_ct, r_ct))
+            for c in range(C):
+                gct_o[i * C + c] = g_ct[c].reshape(-1)
+
+    return kernel
+
+
+def _specs(m, n_bounces):
+    ray_spec = pl.BlockSpec((BLOCK,), lambda i: (i,))
+    u_spec = pl.BlockSpec((n_bounces * 7, BM, LANES), lambda i: (0, i, 0))
+    b_spec = pl.BlockSpec((n_bounces, BM, LANES), lambda i: (0, i, 0))
+    g_spec = pl.BlockSpec((n_bounces * C, BM, LANES), lambda i: (0, i, 0))
+    scf_spec = pl.BlockSpec((1, 4), lambda i: (0, 0))
+    gct_spec = pl.BlockSpec((n_bounces * C, BLOCK), lambda i: (0, i))
+    return ray_spec, u_spec, b_spec, g_spec, scf_spec, gct_spec
+
+
+@functools.partial(jax.jit, static_argnames=("n_bounces", "ambient_is_miss",
+                                             "interpret"))
+def _run_fwd(d3, u, fl, nx, ny, nz, g, scf, *, n_bounces, ambient_is_miss,
+             interpret):
+    m = d3[0].shape[0] // LANES
+    ray_spec, u_spec, b_spec, g_spec, scf_spec, _ = _specs(m, n_bounces)
+    R = d3[0].shape[0]
+    f32 = jax.ShapeDtypeStruct((R,), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((R,), jnp.int32)
+    return pl.pallas_call(
+        _make_fwd_kernel(n_bounces, ambient_is_miss),
+        grid=(m // BM,),
+        in_specs=[ray_spec] * 3 + [u_spec, b_spec, b_spec, b_spec, b_spec,
+                                   g_spec, scf_spec],
+        out_specs=(ray_spec,) * 4,
+        out_shape=(f32, f32, f32, i32),
+        interpret=interpret,
+    )(*d3, u, fl, nx, ny, nz, g, scf)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bounces", "ambient_is_miss",
+                                             "interpret"))
+def _run_bwd(d3, u, fl, nx, ny, nz, g, scf, ct3, *, n_bounces,
+             ambient_is_miss, interpret):
+    m = d3[0].shape[0] // LANES
+    ray_spec, u_spec, b_spec, g_spec, scf_spec, gct_spec = _specs(
+        m, n_bounces)
+    R = d3[0].shape[0]
+    return pl.pallas_call(
+        _make_bwd_kernel(n_bounces, ambient_is_miss),
+        grid=(m // BM,),
+        in_specs=[ray_spec] * 3 + [u_spec, b_spec, b_spec, b_spec, b_spec,
+                                   g_spec, scf_spec] + [ray_spec] * 3,
+        out_specs=gct_spec,
+        out_shape=jax.ShapeDtypeStruct((n_bounces * C, R), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_bounces * 6, BM, LANES),
+                                   jnp.float32)],
+        interpret=interpret,
+    )(*d3, u, fl, nx, ny, nz, g, scf, *ct3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _shade(d3, u, fl, nx, ny, nz, g, scf, n_bounces, ambient_is_miss,
+           interpret):
+    out = _run_fwd(d3, u, fl, nx, ny, nz, g, scf, n_bounces=n_bounces,
+                   ambient_is_miss=ambient_is_miss, interpret=interpret)
+    return out
+
+
+def _shade_fwd(d3, u, fl, nx, ny, nz, g, scf, n_bounces, ambient_is_miss,
+               interpret):
+    out = _shade(d3, u, fl, nx, ny, nz, g, scf, n_bounces, ambient_is_miss,
+                 interpret)
+    return out, (d3, u, fl, nx, ny, nz, g, scf)
+
+
+def _shade_bwd(n_bounces, ambient_is_miss, interpret, res, ct):
+    d3, u, fl, nx, ny, nz, g, scf = res
+    ct3 = ct[:3]
+    g_ct = _run_bwd(d3, u, fl, nx, ny, nz, g, scf, ct3,
+                    n_bounces=n_bounces, ambient_is_miss=ambient_is_miss,
+                    interpret=interpret)
+    zeros_like = jax.tree.map(jnp.zeros_like, (d3, u, fl, nx, ny, nz))
+    return zeros_like + (g_ct, jnp.zeros_like(scf))
+
+
+_shade.defvjp(_shade_fwd, _shade_bwd)
+
+
+def replay_fused(scene, ray_o, ray_d, uniforms, tape: PathTape,
+                 interpret=None, grad_axis=None):
+    """Kernel-backed drop-in for :func:`.replay.replay` (f32 path).
+
+    The material gather is one XLA one-hot matmul over all bounces (its
+    autodiff transpose is the scatter-add back to the material table); the
+    shading chain forward/backward runs in the Pallas kernels above.
+    ``grad_axis``: as in replay.replay — the material cotangent is psum'd
+    across the named mesh axis (one bucket; the per-bounce overlapped
+    schedule stays on the XLA replay path).
+    """
+    from .replay import _allreduce_in_bwd
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = ray_o.shape[0]
+    B = scene.recursion + 1
+    pad = (-R) % BLOCK
+    Rp = R + pad
+
+    matm_T = _material_matrix(scene.materials).T.astype(jnp.float32)
+    if grad_axis is not None:
+        matm_T = _allreduce_in_bwd(matm_T, grad_axis)
+    n = matm_T.shape[1]
+    prim_flat = jnp.maximum(tape.prim.reshape(-1), 0)       # [B*R]
+    if n <= ONEHOT_MAX_ROWS:
+        onehot_T = (jnp.arange(n, dtype=jnp.int32)[:, None]
+                    == prim_flat[None, :]).astype(jnp.float32)
+        g_flat = jnp.matmul(matm_T, onehot_T,               # [C, B*R]
+                            precision=jax.lax.Precision.HIGHEST)
+    else:
+        # At-scale material tables (per-prim rows, e.g. 1M-triangle
+        # meshgen scenes): an O(N·B·R) one-hot is intractable — use the
+        # gather (its AD transpose is a scatter-add).  See
+        # integrator.gather_rows for the threshold rationale.
+        g_flat = jnp.take(matm_T, prim_flat, axis=1)
+    g = g_flat.reshape(C, B, R).transpose(1, 0, 2).reshape(B * C, R)
+    g = jnp.pad(g, ((0, 0), (0, pad))).reshape(B * C, Rp // LANES, LANES)
+
+    pz = lambda a: jnp.pad(a.astype(jnp.float32), (0, pad))
+    d3 = tuple(pz(ray_d[:, k]) for k in range(3))
+    u = jnp.pad(uniforms.astype(jnp.float32).reshape(B * 7, R),
+                ((0, 0), (0, pad))).reshape(B * 7, Rp // LANES, LANES)
+    pb = lambda a: jnp.pad(a, ((0, 0), (0, pad))).reshape(
+        B, Rp // LANES, LANES)
+    fl = pb(tape.flags)
+    nx, ny, nz = (pb(a.astype(jnp.float32))
+                  for a in (tape.nx, tape.ny, tape.nz))
+    scf = jnp.concatenate([
+        scene.air_refractive_index.reshape(1).astype(jnp.float32),
+        scene.ambient_rgb.reshape(3).astype(jnp.float32)]).reshape(1, 4)
+
+    rr, rg, rb, miss = _shade(d3, u, fl, nx, ny, nz, g, scf, B,
+                              bool(scene.ambient_is_miss), bool(interpret))
+    color = jnp.stack([rr[:R], rg[:R], rb[:R]], axis=1).astype(ray_o.dtype)
+    return color, miss[:R] != 0

@@ -47,6 +47,9 @@ def main():
                     help="square-tile ray ordering (0 = row-major)")
     ap.add_argument("--sort", default="auto", choices=["auto", "on", "off"],
                     help="per-bounce (octant, Morton) ray sort")
+    ap.add_argument("--train", action="store_true",
+                    help="also time the fwd+bwd train step through the "
+                         "BVH recorder (record -> replay -> grads -> adam)")
     args = ap.parse_args()
 
     import jax
@@ -119,6 +122,50 @@ def main():
     log(f"steady state: {dt*1e3:.1f} ms/pass, "
         f"{pixels/dt/1e6:.2f}M paths/sec, {rays/dt/1e6:.2f}M rays/sec")
 
+    train = {}
+    if args.train:
+        # Fwd+bwd through the BVH recorder — config 5's actual training
+        # workload (VERDICT r3 #2): record (BVH closest-hit) -> replay ->
+        # material grads -> adam.
+        import optax
+
+        from raytracercore_tpu.diff import get_material_params
+        from raytracercore_tpu.parallel.shard import make_train_step
+
+        optimizer = optax.adam(1e-2)
+        params = get_material_params(arrays)
+        opt_state = optimizer.init(params)
+        target = jnp.zeros((args.size, args.size, 3), jnp.float32)
+        step = make_train_step(None, optimizer, closest_fn=closest)
+        log("compiling train step (BVH record + replay)...")
+        state = {"p": params, "o": opt_state}
+
+        def one():
+            p, o_, loss = step(state["p"], arrays, camera, target,
+                               state["o"], key)
+            state["p"], state["o"] = p, o_
+            return loss
+
+        t0 = time.perf_counter()
+        loss = one()
+        loss_f = float(loss)
+        t_compile_tr = time.perf_counter() - t0
+        log(f"train step compile+run: {t_compile_tr:.1f}s "
+            f"(loss {loss_f:.4g})")
+        float(one())
+        t0 = time.perf_counter()
+        n_tr = 3
+        for _ in range(n_tr):
+            loss = one()
+        float(loss)
+        dt_tr = (time.perf_counter() - t0) / n_tr
+        log(f"train: {dt_tr*1e3:.1f} ms/step, "
+            f"{rays/dt_tr/1e6:.3f}M fwd+bwd rays/sec")
+        train = {"train_ms_per_step": round(dt_tr * 1e3, 2),
+                 "train_steps_per_sec": round(1.0 / dt_tr, 4),
+                 "train_wavefront_rays_per_sec": round(rays / dt_tr, 1),
+                 "train_loss_finite": bool(np.isfinite(loss_f))}
+
     if args.png:
         from raytracercore_tpu.tools.png import write_png
         more = max(args.spp_png - 1 - args.passes, 0)
@@ -147,6 +194,7 @@ def main():
         "sort": args.sort,
         "leaf_size": leaf,
         "device": str(jax.devices()[0]),
+        **train,
     }))
 
 

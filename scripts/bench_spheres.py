@@ -74,6 +74,44 @@ def main():
           f"bounce {agree2:.4f}", file=sys.stderr, flush=True)
     assert agree1 >= 0.999 and agree2 >= 0.999
 
+    # --- attribution of bounce disagreements (VERDICT r3 #6) --------------
+    # Mirror bench.py's flip/graze/samepick discipline: classify every
+    # disagreeing skip-carrying ray instead of calling 0.999x "noise".
+    #   order-tie  — both paths found hits at the same t (within f32 slop)
+    #                on different rows: equal-t candidate ordering, benign;
+    #   skip-edge  — the disagreeing hit sits on the skip-epsilon knife
+    #                edge (position-match ratio within 2x of 1): the
+    #                accelerated and dense paths compute the hit position
+    #                through different arithmetic and round the
+    #                Util.RayHitMatches test differently, benign;
+    #   real       — anything else: would be a genuine traversal bug.
+    from raytracercore_tpu.intersect.dispatch import _position_eps
+    dis = np.asarray(hb2.prim != hd2.prim)
+    t_b, t_d = np.asarray(hb2.t), np.asarray(hd2.t)
+    f_b, f_d = np.asarray(hb2.prim >= 0), np.asarray(hd2.prim >= 0)
+    both = dis & f_b & f_d
+    tie = both & (np.abs(t_b - t_d) <= 1e-3 * (1.0 + np.abs(t_d)))
+    # Skip-edge: distance(hit, skip position) vs eps_pos^2 * scale.
+    eps_p = float(_position_eps(jnp.float32))
+    kp = np.asarray(hd.position)
+    scale = 1.0 + (kp ** 2).sum(-1)
+    lim = (eps_p ** 2) * scale
+
+    def edge(h):
+        d2_ = ((np.asarray(h.position) - kp) ** 2).sum(-1)
+        r = d2_ / np.maximum(lim, 1e-30)
+        return (r > 0.25) & (r < 4.0)
+
+    skip_edge = dis & ~tie & (edge(hb2) | edge(hd2))
+    real = dis & ~tie & ~skip_edge
+    n = dis.size
+    frac = lambda m: round(float(m.sum()) / n, 6)
+    print(f"bounce disagreement attribution: order-tie {frac(tie)}, "
+          f"skip-edge {frac(skip_edge)}, real {frac(real)} "
+          f"({int(real.sum())} rays)", file=sys.stderr, flush=True)
+    attribution = {"order_tie": frac(tie), "skip_edge": frac(skip_edge),
+                   "real": frac(real)}
+
     # --- stage 2: throughput at scale -------------------------------------
     t0 = time.perf_counter()
     arrays, host_cam = make_sphere_field_scene(
@@ -104,6 +142,7 @@ def main():
         "n_spheres": n_sph,
         "agreement_primary": agree1,
         "agreement_bounce": agree2,
+        "bounce_disagreement_attribution": attribution,
         "ms_per_pass": round(dt * 1e3, 2),
         "wavefront_rays_per_sec": round(rays / dt, 1),
         "device": str(jax.devices()[0]),

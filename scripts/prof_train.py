@@ -115,6 +115,27 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"replay fwd+bwd (remat={remat}) FAILED: {e}")
 
+    # 4b. Pallas replay kernel (replay_kernel.py)
+    from raytracercore_tpu.render.replay_kernel import replay_fused
+    f_rk = jax.jit(lambda: replay_fused(arrays, o, d, uniforms, tape))
+    try:
+        log("replay-kernel fwd           %7.2f ms" % bench(f_rk))
+    except Exception as e:  # noqa: BLE001
+        log(f"replay-kernel fwd FAILED: {e}")
+
+    def loss_k(p):
+        s = with_material_params(arrays, p)
+        color, miss = replay_fused(s, o, d, uniforms, tape)
+        img = jnp.where(miss[:, None], 0.0, color)
+        return jnp.mean((img - target) ** 2)
+
+    f_vgk = jax.jit(lambda p: jax.value_and_grad(loss_k)(p))
+    try:
+        log("replay-kernel fwd+bwd       %7.2f ms" % bench(
+            lambda: f_vgk(params)))
+    except Exception as e:  # noqa: BLE001
+        log(f"replay-kernel fwd+bwd FAILED: {e}")
+
     # 5. full train step (what bench.py measures)
     optimizer = optax.adam(1e-2)
     opt_state = optimizer.init(params)
