@@ -217,6 +217,51 @@ def main():
         log(f"bench: fwd+bwd failed: {e}")
         dt_fb = float("inf")
 
+    # --- at-scale BVH traversal (VERDICT r3 #8: surface the accelerated
+    # tier in the driver bench so regressions are visible in BENCH_r*) ----
+    bvh_extra = {}
+    if on_tpu:
+        try:
+            import numpy as np
+
+            from raytracercore_tpu.bvh.builder import (auto_leaf_size,
+                                                       build_triangle_bvh)
+            from raytracercore_tpu.intersect.dispatch import \
+                make_bvh_closest_fn
+            from raytracercore_tpu.scene.meshgen import make_mesh_scene
+
+            log("bench: compiling at-scale BVH render (184k tris, 512^2)..")
+            size_b, rec_b = 512, 4
+            arrays_b, cam_b, (v0, e1, e2, mirror, valid) = make_mesh_scene(
+                grid=12, subdiv=3, recursion=rec_b,
+                width=size_b, height=size_b)
+            leaf = auto_leaf_size(v0.shape[0])
+            bvh = build_triangle_bvh(v0, e1, e2, mirror, valid,
+                                     leaf_size=leaf)
+            closest_b = make_bvh_closest_fn(bvh, arrays_b)
+            from raytracercore_tpu.scene.types import init_camera as _ic
+            camera_b = _ic(cam_b, size_b, size_b)
+            film_b = Film.create(size_b, size_b)
+
+            def bvh_pass():
+                return render_passes(arrays_b, camera_b, film_b, key,
+                                     jnp.int32(0), n=2,
+                                     closest_fn=closest_b, tile=32)
+
+            dt_bvh = bench_call(bvh_pass, lambda f: sync(f.samples),
+                                n=3) / 2
+            rays_b = size_b * size_b * (rec_b + 1)
+            bvh_extra = {
+                "bvh_184k_ms_per_pass": round(dt_bvh * 1e3, 2),
+                "bvh_184k_wavefront_rays_per_sec": round(rays_b / dt_bvh, 1),
+                "bvh_184k_n_tris": int(v0.shape[0]),
+                "bvh_184k_leaf_size": int(leaf),
+            }
+            log(f"bench: at-scale BVH {dt_bvh*1e3:.1f} ms/pass "
+                f"({rays_b/dt_bvh/1e6:.2f}M wavefront rays/sec)")
+        except Exception as e:  # noqa: BLE001
+            log(f"bench: at-scale BVH bench failed: {e}")
+
     # --- on-hardware kernel equivalence (Mosaic vs XLA semantics) ---------
     equiv = miss_eq = flip = graze = samepick = None
     if on_tpu:
@@ -264,6 +309,7 @@ def main():
             "vs_roofline_fwd": round(tflops_fwd / VPU_FMA_PEAK_TFLOPS, 4),
             "model_tflops_fwdbwd": round(tflops_fb, 3),
             "vs_roofline_fwdbwd": round(tflops_fb / VPU_FMA_PEAK_TFLOPS, 4),
+            **bvh_extra,
         },
     }))
 

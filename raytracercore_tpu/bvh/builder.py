@@ -223,6 +223,37 @@ def sphere_bounds(center: np.ndarray, radius: np.ndarray):
     return center - r, center + r
 
 
+def ellipsoid_bounds(center: np.ndarray, radius: np.ndarray,
+                     obj_to_world: np.ndarray):
+    """Exact world-space AABBs of transformed spheres (ellipsoids).
+
+    The reference bounds every primitive type into its BVH via
+    IBoundedObject (Scene.cs:39-49); for spheres it samples
+    GetMaxCenterDistance through the transform (Sphere.cs:220-232,
+    AABB.cs:22-36).  The closed form: the world AABB of the affine image
+    of a sphere has center ``M·c`` and per-axis half-extent
+    ``r · ||row_i(M_linear)||``."""
+    lin = np.asarray(obj_to_world, np.float64)[:, :3, :3]   # [S, 3, 3]
+    trans = np.asarray(obj_to_world, np.float64)[:, :3, 3]
+    c = np.asarray(center, np.float64)
+    r = np.asarray(radius, np.float64)
+    wc = np.einsum("sij,sj->si", lin, c) + trans
+    half = r[:, None] * np.linalg.norm(lin, axis=2)         # rows of M
+    return (wc - half).astype(np.float32), (wc + half).astype(np.float32)
+
+
+def build_ellipsoid_bvh(center: np.ndarray, radius: np.ndarray,
+                        obj_to_world: np.ndarray, valid: np.ndarray,
+                        leaf_size: int = 8, dtype=jnp.float32,
+                        backend: str = "auto") -> BVHArrays:
+    """Skip-link BVH over TRANSFORMED spheres (leaf_prims = sphere-table
+    rows); the kernel leaf test runs the full object-space quadratic with
+    the matrices packed into the leaf record (pallas_traverse
+    pack_leaf_ellipsoids)."""
+    bmin, bmax = ellipsoid_bounds(center, radius, obj_to_world)
+    return build_boxes_bvh(bmin, bmax, valid, leaf_size, dtype, backend)
+
+
 def build_sphere_bvh(center: np.ndarray, radius: np.ndarray,
                      valid: np.ndarray, leaf_size: int = 8,
                      dtype=jnp.float32, backend: str = "auto") -> BVHArrays:

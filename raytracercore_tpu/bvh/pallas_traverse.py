@@ -62,6 +62,7 @@ LANES = (8, 128)
 CHAINS = 8             # independent 128-ray sub-beams per block
 TRI_F = 16             # packed floats per leaf triangle (see pack_leaf_tris)
 SPH_F = 8              # packed floats per leaf sphere (see pack_leaf_spheres)
+SPT_F = 32             # packed floats per leaf ellipsoid (transformed sphere)
 NEG = -1.0
 
 
@@ -216,6 +217,47 @@ def pack_leaf_spheres(bvh: BVHArrays, sph, mats) -> np.ndarray:
     return out
 
 
+def pack_leaf_ellipsoids(bvh: BVHArrays, sph, mats) -> np.ndarray:
+    """[L, K*SPT_F] f32 leaf-ellipsoid blocks (TRANSFORMED spheres).
+
+    Per-record layout (SPT_F floats):
+      w2o rows (12), o2w rows (12), center(3), radius, row, invert,
+      two_sided, pad.  Empty slots have row = -1.  The kernel leaf test
+    runs the object-space quadratic with per-root world mapping
+    (Sphere.cs:156-209 via kernel_body.sphere_pass semantics).
+    """
+    leaf_prims = np.asarray(bvh.leaf_prims)
+    L, K = leaf_prims.shape
+    w2o = np.asarray(sph.world_to_obj, np.float32)[:, :3, :].reshape(-1, 12)
+    o2w = np.asarray(sph.obj_to_world, np.float32)[:, :3, :].reshape(-1, 12)
+    center = np.asarray(sph.center, np.float32)
+    radius = np.asarray(sph.radius, np.float32)
+    prim_id = np.asarray(sph.prim_id)
+    invert = np.asarray(mats.invert)
+    two_sided = np.asarray(mats.two_sided)
+
+    K_pad = -(-K // 4) * 4          # 4 * SPT_F = 128 floats per lane row
+    out = np.zeros((L, K_pad, SPT_F), np.float32)
+    out[..., 28] = -1.0
+    rows = np.maximum(leaf_prims, 0)
+    valid = leaf_prims >= 0
+    out[:, :K, 0:12] = w2o[rows]
+    out[:, :K, 12:24] = o2w[rows]
+    out[:, :K, 24:27] = center[rows]
+    out[:, :K, 27] = radius[rows]
+    out[:, :K, 28] = np.where(valid, leaf_prims, -1).astype(np.float32)
+    pid = np.maximum(prim_id[rows], 0)
+    out[:, :K, 29] = (invert[pid] & valid).astype(np.float32)
+    out[:, :K, 30] = (two_sided[pid] | ~valid).astype(np.float32)
+    out = out.reshape(L, K_pad * SPT_F)
+    L_pad = (-L) % 8
+    if L_pad:
+        pad = np.zeros((L_pad, K_pad * SPT_F), np.float32)
+        pad[:, 28::SPT_F] = -1.0
+        out = np.concatenate([out, pad])
+    return out
+
+
 def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
                      sk_row, sk_px, sk_py, sk_pz, sk_leaving, sk_inside,
                      sk_scale, out_row, out_t, *rest,
@@ -346,8 +388,64 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         tt = jnp.where(near_ok, t_near, t_far)
         return ok, tt, row
 
-    rec_f = TRI_F if leaf_kind == "tri" else SPH_F
-    leaf_test = tri_test if leaf_kind == "tri" else sph_test
+    def spht_test(m):
+        """Per-row packed TRANSFORMED spheres (ellipsoids): the full
+        object-space quadratic of Sphere.DoRayTrace (Sphere.cs:156-209),
+        mirroring kernel_body.sphere_pass — ray into object space with
+        re-normalized direction (Ray.cs:43-50), both roots, per-root world
+        position via obj_to_world, world-metric t = d·(pos_w - o),
+        two-sided/invert and skip-hit filtering per root, near root
+        preferred."""
+        row = m(28)
+        inv_f = m(29) != 0
+        two_s = m(30) != 0
+
+        oox = m(0) * o_x + m(1) * o_y + m(2) * o_z + m(3)
+        ooy = m(4) * o_x + m(5) * o_y + m(6) * o_z + m(7)
+        ooz = m(8) * o_x + m(9) * o_y + m(10) * o_z + m(11)
+        ddx = m(0) * d_x + m(1) * d_y + m(2) * d_z
+        ddy = m(4) * d_x + m(5) * d_y + m(6) * d_z
+        ddz = m(8) * d_x + m(9) * d_y + m(10) * d_z
+        dlen = jax.lax.rsqrt(
+            jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-30))
+        ddx, ddy, ddz = ddx * dlen, ddy * dlen, ddz * dlen
+
+        cx, cy, cz, rad = m(24), m(25), m(26), m(27)
+        fx, fy, fz = oox - cx, ooy - cy, ooz - cz
+        b = -2.0 * (fx * ddx + fy * ddy + fz * ddz)
+        cq = fx * fx + fy * fy + fz * fz - rad * rad
+        disc = b * b - 4.0 * cq
+        has = disc >= 0
+        radix = jnp.sqrt(jnp.where(has, disc, 0.0))
+        any_hit = has & (radix >= -b) & (row >= 0)
+        both = radix < b
+
+        def eval_root(t_obj, valid, inv_b):
+            px = oox + ddx * t_obj
+            py = ooy + ddy * t_obj
+            pz = ooz + ddz * t_obj
+            wx = m(12) * px + m(13) * py + m(14) * pz + m(15)
+            wy = m(16) * px + m(17) * py + m(18) * pz + m(19)
+            wz = m(20) * px + m(21) * py + m(22) * pz + m(23)
+            tw = d_x * (wx - o_x) + d_y * (wy - o_y) + d_z * (wz - o_z)
+            inside = jnp.logical_not(inv_f) if inv_b else inv_f
+            d2 = (wx - k_px) ** 2 + (wy - k_py) ** 2 + (wz - k_pz) ** 2
+            pos_close = d2 <= (eps_pos * eps_pos) * k_scale
+            parity = jnp.logical_xor(k_leaving, inside == k_inside)
+            match = (k_row == row) & (k_row >= 0) & pos_close & parity
+            valid = valid & (two_s | ~inside) & ~match
+            return tw, valid
+
+        t_near, near_ok = eval_root((b - radix) * 0.5, any_hit & both,
+                                    False)
+        t_far, far_ok = eval_root((b + radix) * 0.5, any_hit, True)
+        ok = near_ok | far_ok
+        tt = jnp.where(near_ok, t_near, t_far)
+        return ok, tt, row
+
+    rec_f = {"tri": TRI_F, "sph": SPH_F, "spht": SPT_F}[leaf_kind]
+    leaf_test = {"tri": tri_test, "sph": sph_test,
+                 "spht": spht_test}[leaf_kind]
 
     def start_dma(r, si):
         pltpu.make_async_copy(leaf_hbm.at[pl.ds(si, 1), :],
@@ -740,6 +838,22 @@ class PallasBVH:
         if want_stats:
             return res + (out[2].reshape(-1, BLOCK)[:, :8],)
         return res
+
+
+class PallasEllipsoidBVH(PallasBVH):
+    """Block-beam traversal over TRANSFORMED spheres (ellipsoids) — closes
+    the last dense-only tier (VERDICT r3 #5): the reference bounds
+    transformed spheres into its BVH through IBoundedObject with affine
+    AABBs (Sphere.cs:220-232, AABB.cs:22-36); here the exact closed-form
+    world box feeds the same skip-link build, and the leaf records carry
+    the transform matrices for the in-kernel object-space quadratic."""
+
+    leaf_kind = "spht"
+
+    def __init__(self, bvh: BVHArrays, sph, mats, n_prims: int):
+        self.leaf_tris = jnp.asarray(pack_leaf_ellipsoids(bvh, sph, mats))
+        self.K = int(self.leaf_tris.shape[1]) // SPT_F  # incl. align pad
+        self._init_common(bvh, np.asarray(sph.prim_id), n_prims)
 
 
 class PallasSphereBVH(PallasBVH):

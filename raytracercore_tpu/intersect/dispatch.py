@@ -273,6 +273,45 @@ def _sphere_near_valid_single(scene, rows, ray_o, ray_d, skip, eps_pos):
     return any_hit & both & (two_sided | ~inside_near) & ~match
 
 
+def _sphere_near_valid_single_t(scene, rows, ray_o, ray_d, skip, eps_pos):
+    """use_near for a single TRANSFORMED sphere row per ray (the
+    ellipsoid-BVH winner): object-space quadratic through world_to_obj
+    with renormalized direction, near-root validity + skip rule on the
+    WORLD hit position — exactly the kernel's spht leaf-test semantics
+    (pallas_traverse.spht_test / Sphere.cs:156-209)."""
+    sph = scene.spheres
+    mats = scene.materials
+    take = lambda a: jnp.take(a, rows, axis=0)
+    center, radius = take(sph.center), take(sph.radius)
+    w2o, o2w = take(sph.world_to_obj), take(sph.obj_to_world)
+    prim_ids = take(sph.prim_id)
+    safe = jnp.maximum(prim_ids, 0)
+    invert = jnp.take(mats.invert, safe)
+    two_sided = jnp.take(mats.two_sided, safe)
+
+    o_obj = (jnp.einsum("rij,rj->ri", w2o[:, :3, :3], ray_o)
+             + w2o[:, :3, 3])
+    d_obj = jnp.einsum("rij,rj->ri", w2o[:, :3, :3], ray_d)
+    d_obj = d_obj / vm.safe_sqrt(
+        jnp.sum(d_obj * d_obj, axis=-1))[:, None]
+    off = o_obj - center
+    b = -2.0 * jnp.sum(off * d_obj, axis=-1)
+    cq = jnp.sum(off * off, axis=-1) - radius ** 2
+    disc = b * b - 4.0 * cq
+    has = disc >= 0
+    radix = jnp.sqrt(jnp.where(has, disc, 0.0))
+    any_hit = has & (radix >= -b)
+    both = radix < b
+    t_near = (b - radix) * 0.5
+    inside_near = invert  # geometric False ^ invert
+    pos_obj = o_obj + d_obj * t_near[:, None]
+    pos_w = (jnp.einsum("rij,rj->ri", o2w[:, :3, :3], pos_obj)
+             + o2w[:, :3, 3])
+    match = _skip_match_1(ray_d, pos_w, inside_near, prim_ids, skip,
+                          eps_pos)
+    return any_hit & both & (two_sided | ~inside_near) & ~match
+
+
 
 def _sphere_winner_eval(scene, idx, use_near, any_, ray_o, ray_d):
     """Phase 2 (differentiable): re-solve the winning sphere per ray
@@ -496,16 +535,19 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
 
     # --- sphere acceleration (reference: IBoundedObject bounds every
     # primitive type, Scene.cs:39-49) — a parallel sphere-BVH over the
-    # UNTRANSFORMED spheres; transformed ellipsoids and tiny tables stay
-    # on the dense scan.
+    # UNTRANSFORMED spheres and an ellipsoid-BVH over the TRANSFORMED ones
+    # (exact affine world AABBs, Sphere.cs:220-232 / AABB.cs:22-36); only
+    # tiny tables stay on the dense scan.
     sphere_select_fn = None
     sphere_bvh = None
+    ell_bvh = None
     if pallas_bvh is not None and scene is not None:
         import numpy as _np
 
         sph_np_pid = _np.asarray(scene.spheres.prim_id)
-        accel_mask = (~_np.asarray(scene.spheres.transformed)
-                      & (sph_np_pid >= 0))
+        transformed_np = _np.asarray(scene.spheres.transformed)
+        accel_mask = ~transformed_np & (sph_np_pid >= 0)
+        ell_mask = transformed_np & (sph_np_pid >= 0)
         if int(accel_mask.sum()) >= 256:
             from ..bvh.builder import build_sphere_bvh
             from ..bvh.pallas_traverse import PallasSphereBVH
@@ -518,13 +560,30 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
                                              scene.n_prims)
             except ValueError:
                 sphere_bvh = None
-        if sphere_bvh is not None:
+        if int(ell_mask.sum()) >= 256:
+            from ..bvh.builder import build_ellipsoid_bvh
+            from ..bvh.pallas_traverse import PallasEllipsoidBVH
+            eb = build_ellipsoid_bvh(
+                _np.asarray(scene.spheres.center),
+                _np.asarray(scene.spheres.radius),
+                _np.asarray(scene.spheres.obj_to_world), ell_mask)
+            try:
+                ell_bvh = PallasEllipsoidBVH(eb, scene.spheres,
+                                             scene.materials,
+                                             scene.n_prims)
+            except ValueError:
+                ell_bvh = None
+        if sphere_bvh is not None or ell_bvh is not None:
             # COMPACT dense view: only the non-accelerated rows (a masked
             # full-size table would still compute the whole [R, S] grid —
             # at 100k accelerated spheres that is the entire cost the BVH
             # exists to remove).  Built host-side from the concrete scene;
             # selection is stop-grad so constants are fine.
-            keep = ~accel_mask & (sph_np_pid >= 0)
+            keep = (sph_np_pid >= 0)
+            if sphere_bvh is not None:
+                keep &= ~accel_mask
+            if ell_bvh is not None:
+                keep &= ~ell_mask
             row_map = jnp.asarray(_np.nonzero(keep)[0].astype(_np.int32)) \
                 if keep.any() else None
             if row_map is not None:
@@ -545,25 +604,41 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
                                           eps_pos)
                 R = o_sg.shape[0]
                 if row_map is not None:
-                    idx_c, use_near_d, any_d, t_d = _sphere_select_rt(
+                    idx_c, use_near, any_, t_best = _sphere_select_rt(
                         scene_sg.replace(spheres=dense_view), o_sg, d_sg,
                         skip_sg, eps_pos, want_t=True)
-                    idx_d = jnp.take(row_map, idx_c)
+                    idx = jnp.take(row_map, idx_c)
                 else:
-                    idx_d = jnp.zeros((R,), jnp.int32)
-                    use_near_d = jnp.zeros((R,), bool)
-                    any_d = jnp.zeros((R,), bool)
-                    t_d = jnp.full((R,), jnp.inf, o_sg.dtype)
-                row_b, any_b, t_b = sphere_bvh.select(
-                    o_sg, d_sg, skip_sg, vm.near_enough(o_sg.dtype),
-                    eps_pos, interpret=not on_tpu, sort=do_sort)
-                use_b = any_b & (~any_d | (t_b <= t_d))
-                idx = jnp.where(use_b, row_b, idx_d)
-                near_b = _sphere_near_valid_single(
-                    scene_sg, jnp.maximum(row_b, 0), o_sg, d_sg, skip_sg,
-                    eps_pos)
-                use_near = jnp.where(use_b, near_b, use_near_d)
-                return idx, use_near, any_b | any_d
+                    idx = jnp.zeros((R,), jnp.int32)
+                    use_near = jnp.zeros((R,), bool)
+                    any_ = jnp.zeros((R,), bool)
+                    t_best = jnp.full((R,), jnp.inf, o_sg.dtype)
+                eps_b = vm.near_enough(o_sg.dtype)
+                if sphere_bvh is not None:
+                    row_b, any_b, t_b = sphere_bvh.select(
+                        o_sg, d_sg, skip_sg, eps_b, eps_pos,
+                        interpret=not on_tpu, sort=do_sort)
+                    use_b = any_b & (~any_ | (t_b <= t_best))
+                    near_b = _sphere_near_valid_single(
+                        scene_sg, jnp.maximum(row_b, 0), o_sg, d_sg,
+                        skip_sg, eps_pos)
+                    idx = jnp.where(use_b, row_b, idx)
+                    use_near = jnp.where(use_b, near_b, use_near)
+                    t_best = jnp.where(use_b, t_b, t_best)
+                    any_ = any_ | any_b
+                if ell_bvh is not None:
+                    row_e, any_e, t_e = ell_bvh.select(
+                        o_sg, d_sg, skip_sg, eps_b, eps_pos,
+                        interpret=not on_tpu, sort=do_sort)
+                    use_e = any_e & (~any_ | (t_e <= t_best))
+                    near_e = _sphere_near_valid_single_t(
+                        scene_sg, jnp.maximum(row_e, 0), o_sg, d_sg,
+                        skip_sg, eps_pos)
+                    idx = jnp.where(use_e, row_e, idx)
+                    use_near = jnp.where(use_e, near_e, use_near)
+                    t_best = jnp.where(use_e, t_e, t_best)
+                    any_ = any_ | any_e
+                return idx, use_near, any_
 
     def closest(scene: SceneArrays, ray_o, ray_d, skip) -> HitRecord:
         return _closest_from_tri_select(scene, ray_o, ray_d, skip,

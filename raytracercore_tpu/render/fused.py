@@ -299,20 +299,13 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
         # Unrolled bounce loop: static per-bounce specialization (no skip
         # test on camera rays, renorm only every 3rd bounce, emission-only
         # material fetch + no shading on the final bounce) and no loop-carry
-        # round trips.  Forward-only blocks skip a whole bounce once every
-        # lane is dead (one lane reduce + scalar branch per bounce; at
-        # rec10 most paths terminate around bounce 4-6, so trailing
-        # bounces of fully-dead 1024-ray blocks are free).  The tape path
-        # cannot skip: dead bounces still owe their prim=-1/flags=0 rows.
+        # round trips.  (A per-bounce all-dead lax.cond skip was tried in
+        # round 4 and REGRESSED the forward 12.2 -> 17.3 ms: the branch
+        # carries ~20 live (8,128) planes whose spill/refill around each
+        # region costs more than the skipped tail bounces save.)
         carry = init
         for i in range(n_bounces):
-            if i >= 1 and not want_tape:
-                any_alive = jnp.max(carry[3]) > 0
-                carry = jax.lax.cond(any_alive,
-                                     lambda c, i=i: body(i, c),
-                                     lambda c: c, carry)
-            else:
-                carry = body(i, carry)
+            carry = body(i, carry)
         final = carry
         result = final[4]
         rr_o[:] = result[0]

@@ -82,7 +82,8 @@ _allreduce_in_bwd.defvjp(_allreduce_fwd, _allreduce_bwd)
 
 
 def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
-           remat: bool = True, grad_axis: str | None = None):
+           remat: bool = True, grad_axis: str | None = None,
+           unroll: bool = False):
     """Differentiable re-walk of a recorded path.
 
     Same (color, miss) contract and shading semantics as
@@ -233,8 +234,17 @@ def replay(scene: SceneArrays, ray_o, ray_d, uniforms, tape: PathTape,
     # Per-bounce remat: residuals stay a handful of [R] planes; recomputing
     # a replay bounce is pure elementwise + one one-hot matmul.
     body_fn = jax.checkpoint(body, prevent_cse=False) if remat else body
-    d, tint, result, miss = jax.lax.fori_loop(0, recursion + 1, body_fn,
-                                              init)
+    if unroll:
+        # Python-unrolled bounce loop: XLA sees all bounces at once and can
+        # fuse across them (the fori_loop carry forces an HBM round trip
+        # per bounce).
+        carry = init
+        for i in range(recursion + 1):
+            carry = body_fn(i, carry)
+        d, tint, result, miss = carry
+    else:
+        d, tint, result, miss = jax.lax.fori_loop(0, recursion + 1, body_fn,
+                                                  init)
     return vm.stack3(*result), miss
 
 
@@ -327,13 +337,18 @@ def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
         tape = record_tape(scene, ray_o, ray_d, uniforms,
                            closest_fn=record_fn)
     if replay_kernel is None:
-        # The Pallas replay kernel (replay_kernel.py): same estimator, ~f32
-        # round-off vs this module's XLA replay.  Single-device TPU f32
-        # only — the grad_axis path keeps the XLA replay's per-bounce
-        # overlapped psum schedule (tests pin its HLO).
+        # The Pallas replay kernel (replay_kernel.py): fwd+bwd measured
+        # 14.6 ms vs the XLA replay's 27.6 at 700² rec10 on v5e (the
+        # in-kernel material gather was the key — the original
+        # gathered-tensor prologue alone cost 10 ms).  Single-device TPU
+        # f32 with a kernel-sized material table only; the grad_axis path
+        # keeps the XLA replay's per-bounce overlapped psum schedule.
+        from .replay_kernel import MAX_KERNEL_MATS
+        n_mats = scene.materials.emission.shape[0]
         replay_kernel = (jax.default_backend() == "tpu"
                          and grad_axis is None
-                         and ray_o.dtype == jnp.float32)
+                         and ray_o.dtype == jnp.float32
+                         and n_mats <= MAX_KERNEL_MATS)
     if replay_kernel:
         from .replay_kernel import replay_fused
         return replay_fused(scene, ray_o, ray_d, uniforms, tape)

@@ -41,13 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import vecmath as vm
 from ..core.color import LUM_B, LUM_G, LUM_R
-from .integrator import (ONEHOT_MAX_ROWS, BounceType, PathTape,
-                         _material_matrix)
+from .integrator import BounceType, PathTape, _material_matrix
 
 LANES = 128
 BM = 8
 BLOCK = BM * LANES
 C = 14  # material channels (see integrator._material_matrix)
+MAX_KERNEL_MATS = 64  # in-kernel gather unrolls over the material table
 
 
 def _bounce_fwd(i, d, tint, result, g, u, flags, normal, air, ambient,
@@ -140,19 +140,29 @@ def _bounce_fwd(i, d, tint, result, g, u, flags, normal, air, ambient,
     return d, tint, result, is_miss
 
 
-def _read_bounce(i, u_ref, fl_ref, nx_ref, ny_ref, nz_ref, g_ref):
+def _read_bounce(i, u_ref, fl_ref, nx_ref, ny_ref, nz_ref, pr_ref,
+                 matf_ref, n_mats):
     shape = (BM, LANES)
     u = tuple(u_ref[i * 7 + ch].reshape(shape) for ch in range(7))
     flags = fl_ref[i].reshape(shape)
     normal = (nx_ref[i].reshape(shape), ny_ref[i].reshape(shape),
               nz_ref[i].reshape(shape))
-    g = tuple(g_ref[i * C + c].reshape(shape) for c in range(C))
-    return u, flags, normal, g
+    # In-kernel material gather: an unrolled select loop over the (tiny)
+    # material table — the XLA prologue's one-hot matmul + transpose + pad
+    # chain measured 10.06 ms of the 10.8 ms "kernel" time (the [C, B·R]
+    # gathered tensor is 300 MB that never needs to exist).
+    prim = pr_ref[i].reshape(shape)
+    gs = [jnp.zeros(shape, jnp.float32) for _ in range(C)]
+    for row in range(n_mats):
+        sel = prim == row
+        for c in range(C):
+            gs[c] = jnp.where(sel, matf_ref[row, c], gs[c])
+    return u, flags, normal, tuple(gs)
 
 
-def _make_fwd_kernel(n_bounces, ambient_is_miss):
-    def kernel(dx, dy, dz, u_ref, fl_ref, nx_ref, ny_ref, nz_ref, g_ref,
-               scf, rr_o, rg_o, rb_o, miss_o):
+def _make_fwd_kernel(n_bounces, ambient_is_miss, n_mats):
+    def kernel(dx, dy, dz, u_ref, fl_ref, nx_ref, ny_ref, nz_ref, pr_ref,
+               matf_ref, scf, rr_o, rg_o, rb_o, miss_o):
         shape = (BM, LANES)
         air = scf[0, 0]
         ambient = (scf[0, 1], scf[0, 2], scf[0, 3])
@@ -165,7 +175,8 @@ def _make_fwd_kernel(n_bounces, ambient_is_miss):
         miss = jnp.zeros(shape, jnp.int32)
         for i in range(n_bounces):
             u, flags, normal, g = _read_bounce(i, u_ref, fl_ref, nx_ref,
-                                               ny_ref, nz_ref, g_ref)
+                                               ny_ref, nz_ref, pr_ref,
+                                               matf_ref, n_mats)
             d, tint, result, is_miss = _bounce_fwd(
                 i, d, tint, result, g, u, flags, normal, air, ambient,
                 ambient_is_miss)
@@ -179,9 +190,9 @@ def _make_fwd_kernel(n_bounces, ambient_is_miss):
     return kernel
 
 
-def _make_bwd_kernel(n_bounces, ambient_is_miss):
-    def kernel(dx, dy, dz, u_ref, fl_ref, nx_ref, ny_ref, nz_ref, g_ref,
-               scf, ctr, ctg, ctb, gct_o, scr):
+def _make_bwd_kernel(n_bounces, ambient_is_miss, n_mats):
+    def kernel(dx, dy, dz, u_ref, fl_ref, nx_ref, ny_ref, nz_ref, pr_ref,
+               matf_ref, scf, ctr, ctg, ctb, gct_o, scr):
         shape = (BM, LANES)
         air = scf[0, 0]
         ambient = (scf[0, 1], scf[0, 2], scf[0, 3])
@@ -197,7 +208,8 @@ def _make_bwd_kernel(n_bounces, ambient_is_miss):
             for j, pl_ in enumerate(d + tint):
                 scr[i * 6 + j] = pl_
             u, flags, normal, g = _read_bounce(i, u_ref, fl_ref, nx_ref,
-                                               ny_ref, nz_ref, g_ref)
+                                               ny_ref, nz_ref, pr_ref,
+                                               matf_ref, n_mats)
             d, tint, result, _ = _bounce_fwd(
                 i, d, tint, result, g, u, flags, normal, air, ambient,
                 ambient_is_miss)
@@ -210,7 +222,8 @@ def _make_bwd_kernel(n_bounces, ambient_is_miss):
                 ctb[:].reshape(shape))
         for i in reversed(range(n_bounces)):
             u, flags, normal, g = _read_bounce(i, u_ref, fl_ref, nx_ref,
-                                               ny_ref, nz_ref, g_ref)
+                                               ny_ref, nz_ref, pr_ref,
+                                               matf_ref, n_mats)
             d_i = tuple(scr[i * 6 + j] for j in range(3))
             tint_i = tuple(scr[i * 6 + 3 + j] for j in range(3))
 
@@ -224,85 +237,108 @@ def _make_bwd_kernel(n_bounces, ambient_is_miss):
             _, vjp_fn = jax.vjp(f, d_i, tint_i, zero3, g)
             d_ct, t_ct, r_ct, g_ct = vjp_fn((d_ct, t_ct, r_ct))
             for c in range(C):
-                gct_o[i * C + c] = g_ct[c].reshape(-1)
+                gct_o[i * C + c] = g_ct[c]
 
     return kernel
 
 
-def _specs(m, n_bounces):
+def _specs(m, n_bounces, n_mats):
     ray_spec = pl.BlockSpec((BLOCK,), lambda i: (i,))
     u_spec = pl.BlockSpec((n_bounces * 7, BM, LANES), lambda i: (0, i, 0))
     b_spec = pl.BlockSpec((n_bounces, BM, LANES), lambda i: (0, i, 0))
-    g_spec = pl.BlockSpec((n_bounces * C, BM, LANES), lambda i: (0, i, 0))
+    matf_spec = pl.BlockSpec((n_mats, C), lambda i: (0, 0))
     scf_spec = pl.BlockSpec((1, 4), lambda i: (0, 0))
-    gct_spec = pl.BlockSpec((n_bounces * C, BLOCK), lambda i: (0, i))
-    return ray_spec, u_spec, b_spec, g_spec, scf_spec, gct_spec
+    gct_spec = pl.BlockSpec((n_bounces * C, BM, LANES),
+                            lambda i: (0, i, 0))
+    return ray_spec, u_spec, b_spec, matf_spec, scf_spec, gct_spec
 
 
 @functools.partial(jax.jit, static_argnames=("n_bounces", "ambient_is_miss",
                                              "interpret"))
-def _run_fwd(d3, u, fl, nx, ny, nz, g, scf, *, n_bounces, ambient_is_miss,
-             interpret):
+def _run_fwd(d3, u, fl, nx, ny, nz, pr, matf, scf, *, n_bounces,
+             ambient_is_miss, interpret):
     m = d3[0].shape[0] // LANES
-    ray_spec, u_spec, b_spec, g_spec, scf_spec, _ = _specs(m, n_bounces)
+    n_mats = matf.shape[0]
+    ray_spec, u_spec, b_spec, matf_spec, scf_spec, _ = _specs(
+        m, n_bounces, n_mats)
     R = d3[0].shape[0]
     f32 = jax.ShapeDtypeStruct((R,), jnp.float32)
     i32 = jax.ShapeDtypeStruct((R,), jnp.int32)
     return pl.pallas_call(
-        _make_fwd_kernel(n_bounces, ambient_is_miss),
+        _make_fwd_kernel(n_bounces, ambient_is_miss, n_mats),
         grid=(m // BM,),
         in_specs=[ray_spec] * 3 + [u_spec, b_spec, b_spec, b_spec, b_spec,
-                                   g_spec, scf_spec],
+                                   b_spec, matf_spec, scf_spec],
         out_specs=(ray_spec,) * 4,
         out_shape=(f32, f32, f32, i32),
         interpret=interpret,
-    )(*d3, u, fl, nx, ny, nz, g, scf)
+    )(*d3, u, fl, nx, ny, nz, pr, matf, scf)
 
 
 @functools.partial(jax.jit, static_argnames=("n_bounces", "ambient_is_miss",
                                              "interpret"))
-def _run_bwd(d3, u, fl, nx, ny, nz, g, scf, ct3, *, n_bounces,
+def _run_bwd(d3, u, fl, nx, ny, nz, pr, matf, scf, ct3, *, n_bounces,
              ambient_is_miss, interpret):
     m = d3[0].shape[0] // LANES
-    ray_spec, u_spec, b_spec, g_spec, scf_spec, gct_spec = _specs(
-        m, n_bounces)
+    n_mats = matf.shape[0]
+    ray_spec, u_spec, b_spec, matf_spec, scf_spec, gct_spec = _specs(
+        m, n_bounces, n_mats)
     R = d3[0].shape[0]
     return pl.pallas_call(
-        _make_bwd_kernel(n_bounces, ambient_is_miss),
+        _make_bwd_kernel(n_bounces, ambient_is_miss, n_mats),
         grid=(m // BM,),
         in_specs=[ray_spec] * 3 + [u_spec, b_spec, b_spec, b_spec, b_spec,
-                                   g_spec, scf_spec] + [ray_spec] * 3,
+                                   b_spec, matf_spec, scf_spec]
+        + [ray_spec] * 3,
         out_specs=gct_spec,
-        out_shape=jax.ShapeDtypeStruct((n_bounces * C, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_bounces * C, R // LANES, LANES),
+                                       jnp.float32),
         scratch_shapes=[pltpu.VMEM((n_bounces * 6, BM, LANES),
                                    jnp.float32)],
         interpret=interpret,
-    )(*d3, u, fl, nx, ny, nz, g, scf, *ct3)
+    )(*d3, u, fl, nx, ny, nz, pr, matf, scf, *ct3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _shade(d3, u, fl, nx, ny, nz, g, scf, n_bounces, ambient_is_miss,
-           interpret):
-    out = _run_fwd(d3, u, fl, nx, ny, nz, g, scf, n_bounces=n_bounces,
-                   ambient_is_miss=ambient_is_miss, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _shade(d3, u, fl, nx, ny, nz, pr, matf, scf, n_bounces,
+           ambient_is_miss, interpret):
+    out = _run_fwd(d3, u, fl, nx, ny, nz, pr, matf, scf,
+                   n_bounces=n_bounces, ambient_is_miss=ambient_is_miss,
+                   interpret=interpret)
     return out
 
 
-def _shade_fwd(d3, u, fl, nx, ny, nz, g, scf, n_bounces, ambient_is_miss,
-               interpret):
-    out = _shade(d3, u, fl, nx, ny, nz, g, scf, n_bounces, ambient_is_miss,
-                 interpret)
-    return out, (d3, u, fl, nx, ny, nz, g, scf)
+def _shade_fwd(d3, u, fl, nx, ny, nz, pr, matf, scf, n_bounces,
+               ambient_is_miss, interpret):
+    out = _shade(d3, u, fl, nx, ny, nz, pr, matf, scf, n_bounces,
+                 ambient_is_miss, interpret)
+    return out, (d3, u, fl, nx, ny, nz, pr, matf, scf)
 
 
 def _shade_bwd(n_bounces, ambient_is_miss, interpret, res, ct):
-    d3, u, fl, nx, ny, nz, g, scf = res
+    d3, u, fl, nx, ny, nz, pr, matf, scf = res
     ct3 = ct[:3]
-    g_ct = _run_bwd(d3, u, fl, nx, ny, nz, g, scf, ct3,
+    g_ct = _run_bwd(d3, u, fl, nx, ny, nz, pr, matf, scf, ct3,
                     n_bounces=n_bounces, ambient_is_miss=ambient_is_miss,
                     interpret=interpret)
+    # Scatter-add back to the material table: per-bounce [C, Rp] @ [Rp, N]
+    # one-hot matmuls summed (the one-hot fuses into the matmul; HIGHEST
+    # so the summed cotangents stay exact row copies; per-bounce avoids a
+    # [B·C, Rp] transpose relayout of the whole cotangent tensor).
+    n = matf.shape[0]
+    Rp = d3[0].shape[0]
+    g_ct_b = g_ct.reshape(n_bounces, C, Rp)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    acc = jnp.zeros((C, n), jnp.float32)
+    for i in range(n_bounces):
+        onehot_i = (pr[i].reshape(-1)[:, None] == rows[None, :]
+                    ).astype(jnp.float32)
+        acc = acc + jnp.matmul(g_ct_b[i], onehot_i,
+                               precision=jax.lax.Precision.HIGHEST)
+    matf_ct = acc.T  # [N, C]
     zeros_like = jax.tree.map(jnp.zeros_like, (d3, u, fl, nx, ny, nz))
-    return zeros_like + (g_ct, jnp.zeros_like(scf))
+    return zeros_like + (jnp.zeros_like(pr), matf_ct,
+                         jnp.zeros_like(scf))
 
 
 _shade.defvjp(_shade_fwd, _shade_bwd)
@@ -328,39 +364,35 @@ def replay_fused(scene, ray_o, ray_d, uniforms, tape: PathTape,
     pad = (-R) % BLOCK
     Rp = R + pad
 
-    matm_T = _material_matrix(scene.materials).T.astype(jnp.float32)
+    matf = _material_matrix(scene.materials).astype(jnp.float32)  # [N, C]
     if grad_axis is not None:
-        matm_T = _allreduce_in_bwd(matm_T, grad_axis)
-    n = matm_T.shape[1]
-    prim_flat = jnp.maximum(tape.prim.reshape(-1), 0)       # [B*R]
-    if n <= ONEHOT_MAX_ROWS:
-        onehot_T = (jnp.arange(n, dtype=jnp.int32)[:, None]
-                    == prim_flat[None, :]).astype(jnp.float32)
-        g_flat = jnp.matmul(matm_T, onehot_T,               # [C, B*R]
-                            precision=jax.lax.Precision.HIGHEST)
-    else:
-        # At-scale material tables (per-prim rows, e.g. 1M-triangle
-        # meshgen scenes): an O(N·B·R) one-hot is intractable — use the
-        # gather (its AD transpose is a scatter-add).  See
-        # integrator.gather_rows for the threshold rationale.
-        g_flat = jnp.take(matm_T, prim_flat, axis=1)
-    g = g_flat.reshape(C, B, R).transpose(1, 0, 2).reshape(B * C, R)
-    g = jnp.pad(g, ((0, 0), (0, pad))).reshape(B * C, Rp // LANES, LANES)
+        matf = _allreduce_in_bwd(matf, grad_axis)
+    n = matf.shape[0]
+    if n > MAX_KERNEL_MATS:
+        raise ValueError(
+            f"replay_fused kernel path supports material tables up to "
+            f"{MAX_KERNEL_MATS} rows (got {n}); use replay.replay")
 
     pz = lambda a: jnp.pad(a.astype(jnp.float32), (0, pad))
-    d3 = tuple(pz(ray_d[:, k]) for k in range(3))
+    # Pad directions with +x (a zero direction NaNs the i%3 renormalize's
+    # divide, and forward NaN on pad lanes poisons their cotangents even
+    # under zero seeds).
+    d3 = (jnp.pad(ray_d[:, 0].astype(jnp.float32), (0, pad),
+                  constant_values=1.0),
+          pz(ray_d[:, 1]), pz(ray_d[:, 2]))
     u = jnp.pad(uniforms.astype(jnp.float32).reshape(B * 7, R),
                 ((0, 0), (0, pad))).reshape(B * 7, Rp // LANES, LANES)
     pb = lambda a: jnp.pad(a, ((0, 0), (0, pad))).reshape(
         B, Rp // LANES, LANES)
     fl = pb(tape.flags)
+    pr = pb(jnp.maximum(tape.prim, 0))
     nx, ny, nz = (pb(a.astype(jnp.float32))
                   for a in (tape.nx, tape.ny, tape.nz))
     scf = jnp.concatenate([
         scene.air_refractive_index.reshape(1).astype(jnp.float32),
         scene.ambient_rgb.reshape(3).astype(jnp.float32)]).reshape(1, 4)
 
-    rr, rg, rb, miss = _shade(d3, u, fl, nx, ny, nz, g, scf, B,
+    rr, rg, rb, miss = _shade(d3, u, fl, nx, ny, nz, pr, matf, scf, B,
                               bool(scene.ambient_is_miss), bool(interpret))
     color = jnp.stack([rr[:R], rg[:R], rb[:R]], axis=1).astype(ray_o.dtype)
     return color, miss[:R] != 0

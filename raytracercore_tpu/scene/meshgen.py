@@ -184,7 +184,8 @@ def make_mesh_scene(grid: int = 14, subdiv: int = 4, seed: int = 0,
 
 def make_sphere_field_scene(grid: int = 20, seed: int = 0,
                             recursion: int = 4, width: int = 512,
-                            height: int = 512, dtype=jnp.float32):
+                            height: int = 512, dtype=jnp.float32,
+                            ellipsoid: bool = False):
     """A grid x grid field of ANALYTIC (untransformed) spheres over a floor
     quad with an emissive quad light — the mixed sphere+triangle stress
     scene for the sphere-BVH path (reference analog: die.txt's 21 analytic
@@ -221,13 +222,40 @@ def make_sphere_field_scene(grid: int = 20, seed: int = 0,
     # Global prim ids: spheres 0..S-1, floor S, light S+1.
     N = S + 2
     j = lambda a: jnp.asarray(a, dtype)
-    eye4 = np.broadcast_to(np.eye(4), (S, 4, 4)).copy()
-    spheres = Spheres(
-        center=j(center), radius=j(scale),
-        obj_to_world=j(eye4), world_to_obj=j(eye4),
-        normal_mat=j(np.broadcast_to(np.eye(3), (S, 3, 3)).copy()),
-        transformed=jnp.zeros(S, bool),
-        prim_id=jnp.arange(S, dtype=jnp.int32))
+    if ellipsoid:
+        # TRANSFORMED spheres: unit sphere at the object origin mapped by
+        # a random anisotropic scale + z-rotation + translation — the
+        # ellipsoid-field stress scene for the ellipsoid-BVH tier
+        # (reference analog: Sphere.cs transformed spheres bounded via
+        # IBoundedObject, Scene.cs:39-49).
+        ax = scale[:, None] * (0.55 + 0.9 * rng.random((S, 3)))
+        th = rng.random(S) * 2 * np.pi
+        cs, sn = np.cos(th), np.sin(th)
+        o2w = np.zeros((S, 4, 4))
+        o2w[:, 3, 3] = 1.0
+        rot = np.zeros((S, 3, 3))
+        rot[:, 0, 0], rot[:, 0, 1] = cs, -sn
+        rot[:, 1, 0], rot[:, 1, 1] = sn, cs
+        rot[:, 2, 2] = 1.0
+        o2w[:, :3, :3] = rot * ax[:, None, :]
+        center_w = center.copy()
+        center_w[:, 2] = ax[:, 2]  # rest on the floor
+        o2w[:, :3, 3] = center_w
+        w2o = np.linalg.inv(o2w)
+        spheres = Spheres(
+            center=j(np.zeros((S, 3))), radius=j(np.ones(S)),
+            obj_to_world=j(o2w), world_to_obj=j(w2o),
+            normal_mat=j(np.transpose(w2o[:, :3, :3], (0, 2, 1))),
+            transformed=jnp.ones(S, bool),
+            prim_id=jnp.arange(S, dtype=jnp.int32))
+    else:
+        eye4 = np.broadcast_to(np.eye(4), (S, 4, 4)).copy()
+        spheres = Spheres(
+            center=j(center), radius=j(scale),
+            obj_to_world=j(eye4), world_to_obj=j(eye4),
+            normal_mat=j(np.broadcast_to(np.eye(3), (S, 3, 3)).copy()),
+            transformed=jnp.zeros(S, bool),
+            prim_id=jnp.arange(S, dtype=jnp.int32))
     tris = Triangles(
         v0=j(v0), e1=j(e1), e2=j(e2), normal=j(normal),
         n0=j(normal), n1=j(normal), n2=j(normal),

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--recursion", type=int, default=4)
     ap.add_argument("--passes", type=int, default=4)
+    ap.add_argument("--ellipsoid", action="store_true",
+                    help="TRANSFORMED spheres (ellipsoid-BVH tier) instead "
+                         "of analytic untransformed spheres")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +58,8 @@ def main():
     g = args.agree_grid
     arrays, host_cam = make_sphere_field_scene(grid=g, width=128,
                                                height=128,
-                                               recursion=args.recursion)
+                                               recursion=args.recursion,
+                                               ellipsoid=args.ellipsoid)
     closest = make_bvh_closest_fn(tri_bvh(arrays), arrays)
     camera = init_camera(host_cam, 128, 128)
     px, py = cam_mod.pixel_grid(128, 128)
@@ -116,7 +120,7 @@ def main():
     t0 = time.perf_counter()
     arrays, host_cam = make_sphere_field_scene(
         grid=args.grid, width=args.size, height=args.size,
-        recursion=args.recursion)
+        recursion=args.recursion, ellipsoid=args.ellipsoid)
     t_gen = time.perf_counter() - t0
     n_sph = args.grid * args.grid
     closest = make_bvh_closest_fn(tri_bvh(arrays), arrays)
@@ -137,8 +141,10 @@ def main():
     log(f"steady: {dt*1e3:.1f} ms/pass, {rays/dt/1e6:.2f}M rays/sec")
 
     print(json.dumps({
-        "metric": f"sphere-BVH render, {n_sph} spheres, "
-                  f"{args.size}^2 rec{args.recursion}",
+        "metric": (f"{'ellipsoid' if args.ellipsoid else 'sphere'}-BVH "
+                   f"render, {n_sph} spheres, "
+                   f"{args.size}^2 rec{args.recursion}"),
+        "ellipsoid": args.ellipsoid,
         "n_spheres": n_sph,
         "agreement_primary": agree1,
         "agreement_bounce": agree2,

@@ -1,0 +1,73 @@
+"""Time the XLA replay fwd+bwd with fori_loop vs python-unrolled bounces.
+
+Usage: python scripts/probe_replay_unroll.py
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from raytracercore_tpu.diff import get_material_params, with_material_params
+from raytracercore_tpu.render import camera as cam_mod
+from raytracercore_tpu.render import fused
+from raytracercore_tpu.render.integrator import prepare_uniforms
+from raytracercore_tpu.render.replay import replay
+from raytracercore_tpu.scene import loader
+from raytracercore_tpu.scene.types import freeze_scene, init_camera
+
+size = 700
+scene = loader.from_file("/root/reference/Scenes/bounce.txt")
+scene.width = scene.height = size
+scene.recursion = 10
+arrays = freeze_scene(scene)
+cam = init_camera(scene.cameras[0], size, size)
+R = size * size
+
+
+@jax.jit
+def setup():
+    px, py = cam_mod.pixel_grid(size, size)
+    k_cam, k_path = jax.random.split(jax.random.PRNGKey(0))
+    o, d = cam_mod.camera_rays(cam, px, py, k_cam)
+    return o, d, prepare_uniforms(k_path, R, 11, jnp.float32)
+
+
+o, d, uniforms = setup()
+tape = jax.tree.map(jax.lax.stop_gradient, jax.jit(
+    lambda: fused.trace_fused(arrays, o, d, None, uniforms=uniforms,
+                              want_tape=True))()[2])
+jax.block_until_ready(tape.prim)
+params = get_material_params(arrays)
+
+
+def bench(fn, n=5):
+    out = fn()
+    float(jnp.sum(jax.tree.leaves(out)[0].reshape(-1)[:1]))
+    out = fn()
+    float(jnp.sum(jax.tree.leaves(out)[0].reshape(-1)[:1]))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    float(jnp.sum(jax.tree.leaves(out)[0].reshape(-1)[:1]))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+for unroll in (False, True):
+    for remat in (True, False):
+        def loss(p, u=unroll, r=remat):
+            s = with_material_params(arrays, p)
+            color, miss = replay(s, o, d, uniforms, tape, remat=r,
+                                 unroll=u)
+            img = jnp.where(miss[:, None], 0.0, color)
+            return jnp.mean(img ** 2)
+
+        f = jax.jit(lambda p, u=unroll, r=remat: jax.value_and_grad(
+            lambda q: loss(q, u, r))(p))
+        try:
+            print(f"unroll={unroll} remat={remat}  fwd+bwd "
+                  f"{bench(lambda: f(params)):7.2f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"unroll={unroll} remat={remat} FAILED: {e}", flush=True)

@@ -14,6 +14,8 @@ Usage:  python scripts/prof_train.py [scene.txt] [size]
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,8 @@ from raytracercore_tpu.scene.types import init_camera
 def _setup(grid=2, subdiv=1, size=16):
     arrays, host_cam, (v0, e1, e2, mirror, valid) = make_mesh_scene(
         grid=grid, subdiv=subdiv, width=size, height=size, recursion=2)
-    bvh = build_triangle_bvh(v0, e1, e2, mirror, valid, backend="numpy")
+    bvh = build_triangle_bvh(v0, e1, e2, mirror, valid, leaf_size=4,
+                             backend="numpy")
     pb = PallasBVH(bvh, arrays.triangles, arrays.materials, arrays.n_prims)
     camera = init_camera(host_cam, size, size)
     px, py = cam_mod.pixel_grid(size, size)
@@ -82,7 +83,8 @@ def test_sphere_bvh_mixed_scene_matches_dense():
                              np.asarray(arrays.triangles.e1),
                              np.asarray(arrays.triangles.e2),
                              np.asarray(arrays.triangles.mirror),
-                             np.ones(2, bool), backend="numpy")
+                             np.ones(2, bool), leaf_size=4,
+                             backend="numpy")
     closest = make_bvh_closest_fn(bvh, arrays, traversal="pallas")
     camera = init_camera(host_cam, 32, 32)
     px, py = cam_mod.pixel_grid(32, 32)
@@ -99,6 +101,48 @@ def test_sphere_bvh_mixed_scene_matches_dense():
                                   np.asarray(hd.inside))
 
     # One bounce with the skip record exercising the sphere skip filter.
+    found = hd.prim >= 0
+    o2 = jnp.where(found[:, None], hd.position, o)
+    dn = jnp.sum(d * hd.normal, axis=-1, keepdims=True)
+    d2 = jnp.where(found[:, None], d - 2.0 * dn * hd.normal, d)
+    hb2 = jax.jit(closest)(arrays, o2, d2, hd)
+    hd2 = jax.jit(closest_hit)(arrays, o2, d2, hd)
+    assert (np.asarray(hb2.prim) == np.asarray(hd2.prim)).mean() >= 0.999
+
+
+def test_ellipsoid_bvh_mixed_scene_matches_dense():
+    """TRANSFORMED spheres (ellipsoids) through the accelerated path
+    (ellipsoid-BVH with affine world AABBs + in-leaf object-space
+    quadratic) vs the dense scan — VERDICT r3 #5.  Primary rays and one
+    skip-carrying bounce."""
+    import jax.numpy as jnp
+
+    from raytracercore_tpu.bvh.builder import build_triangle_bvh
+    from raytracercore_tpu.intersect.dispatch import make_bvh_closest_fn
+    from raytracercore_tpu.scene.meshgen import make_sphere_field_scene
+
+    arrays, host_cam = make_sphere_field_scene(grid=18, width=32, height=32,
+                                               ellipsoid=True)
+    assert bool(np.asarray(arrays.spheres.transformed).all())
+    bvh = build_triangle_bvh(np.asarray(arrays.triangles.v0),
+                             np.asarray(arrays.triangles.e1),
+                             np.asarray(arrays.triangles.e2),
+                             np.asarray(arrays.triangles.mirror),
+                             np.ones(2, bool), leaf_size=4,
+                             backend="numpy")
+    closest = make_bvh_closest_fn(bvh, arrays, traversal="pallas")
+    camera = init_camera(host_cam, 32, 32)
+    px, py = cam_mod.pixel_grid(32, 32)
+    o, d = cam_mod.center_rays(camera, px, py)
+
+    hb = jax.jit(closest)(arrays, o, d, None)
+    hd = jax.jit(closest_hit)(arrays, o, d, None)
+    assert (np.asarray(hb.prim) == np.asarray(hd.prim)).mean() >= 0.999
+    assert (np.asarray(hd.prim) < 18 * 18).any()  # ellipsoids actually hit
+    f = np.asarray(hd.prim) >= 0
+    np.testing.assert_allclose(np.asarray(hb.t)[f], np.asarray(hd.t)[f],
+                               rtol=1e-4, atol=1e-4)
+
     found = hd.prim >= 0
     o2 = jnp.where(found[:, None], hd.position, o)
     dn = jnp.sum(d * hd.normal, axis=-1, keepdims=True)

@@ -183,3 +183,40 @@ def test_graft_entry_dryrun():
     jax.block_until_ready(out.color_sum)
     assert bool(jnp.isfinite(out.color_sum).all())
     mod.dryrun_multichip(8)
+
+
+def test_bvh_train_step_sharded_matches_single():
+    """The AT-SCALE code path under the mesh (VERDICT r3 #7): a sharded
+    train step whose closest hit routes through make_bvh_closest_fn must
+    equal the single-device BVH step exactly (rays are embarrassingly
+    parallel; the material-grad psum is the only collective)."""
+    from raytracercore_tpu.bvh.builder import build_triangle_bvh
+    from raytracercore_tpu.intersect.dispatch import make_bvh_closest_fn
+    from raytracercore_tpu.parallel.shard import make_train_step
+    from raytracercore_tpu.scene.meshgen import make_mesh_scene
+
+    size = 16
+    arrays, cam, (v0, e1, e2, mirror, valid) = make_mesh_scene(
+        grid=2, subdiv=1, recursion=2, width=size, height=size)
+    bvh = build_triangle_bvh(v0, e1, e2, mirror, valid, leaf_size=4,
+                             backend="numpy")
+    bvh_fn = make_bvh_closest_fn(bvh, arrays, traversal="xla")
+    camera = init_camera(cam, size, size)
+
+    optimizer = optax.sgd(1e-2)
+    params = get_material_params(arrays)
+    target = jnp.zeros((size, size, 3))
+    key = jax.random.PRNGKey(9)
+
+    s1 = make_train_step(None, optimizer, closest_fn=bvh_fn)
+    p1, _, l1 = s1(params, arrays, camera, target, optimizer.init(params),
+                   key)
+
+    mesh = make_mesh(n_rays=8)
+    s8 = make_train_step(mesh, optimizer, closest_fn=bvh_fn)
+    p8, _, l8 = s8(params, arrays, camera, target, optimizer.init(params),
+                   key)
+    assert float(l8) == pytest.approx(float(l1), rel=1e-6)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
+                                   atol=1e-6, err_msg=k)
