@@ -347,19 +347,31 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         ok = ok & ~match
         return ok, tt, row
 
+    # Normalized ray directions for the sphere tests: the dense path
+    # re-normalizes (Ray.Transform, Ray.cs:43-50) and on TANGENT rays the
+    # discriminant's sign flips with sub-ulp |d| deviations — measured
+    # round 4 as the sphere-BVH's entire 0.09% bounce disagreement
+    # (grazing hits on spheres adjacent to the previous bounce).
+    if leaf_kind != "tri":
+        dn_len = jnp.sqrt(jnp.maximum(
+            d_x * d_x + d_y * d_y + d_z * d_z, 1e-30))
+        n_x, n_y, n_z = d_x / dn_len, d_y / dn_len, d_z / dn_len
+
     def sph_test(m):
         """Per-row packed untransformed spheres ((8, 1) reads via m(col))
         vs all lanes: the quadratic of Sphere.DoRayTrace
-        (Sphere.cs:175-209) with both roots, two-sided/invert filtering and
-        the skip-hit rule applied per root, preferring the near root (the
-        reference's ordered candidate scan)."""
+        (Sphere.cs:175-209) on the RE-NORMALIZED direction (matching the
+        dense jnp_ref.sphere_candidates), with both roots,
+        two-sided/invert filtering and the skip-hit rule applied per
+        root, preferring the near root (the reference's ordered candidate
+        scan)."""
         cx, cy, cz, r = m(0), m(1), m(2), m(3)
         row = m(4)
         inv_f = m(5) != 0
         two_s = m(6) != 0
 
         fx, fy, fz = o_x - cx, o_y - cy, o_z - cz
-        b = -2.0 * (fx * d_x + fy * d_y + fz * d_z)
+        b = -2.0 * (fx * n_x + fy * n_y + fz * n_z)
         cq = fx * fx + fy * fy + fz * fz - r * r
         disc = b * b - 4.0 * cq
         has = disc >= 0
@@ -372,9 +384,9 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         inside_far = jnp.logical_not(inv_f)
 
         def skipm(t, inside):
-            hx = o_x + d_x * t
-            hy = o_y + d_y * t
-            hz = o_z + d_z * t
+            hx = o_x + n_x * t
+            hy = o_y + n_y * t
+            hz = o_z + n_z * t
             d2 = (hx - k_px) ** 2 + (hy - k_py) ** 2 + (hz - k_pz) ** 2
             pos_close = d2 <= (eps_pos * eps_pos) * k_scale
             parity = jnp.logical_xor(k_leaving, inside == k_inside)
@@ -679,9 +691,18 @@ def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
     if want_stats:
         out_shape.append(jax.ShapeDtypeStruct((R,), jnp.float32))
         out_specs.append(ray_spec)
+    # The resident tables legitimately exceed the 16 MB default scoped-VMEM
+    # limit at scale (the 1M-triangle leaf table alone is ~90 MB; v5e has
+    # 128 MB per core) — size the limit to the tables + working set.
+    table_bytes = nodes.size * 4 + (leaf_tris.size * 4 if leaf_resident
+                                    else 0)
+    vmem_limit = min(int(table_bytes + 8 * 2 ** 20), 120 * 2 ** 20)
+    vmem_limit = max(vmem_limit, 32 * 2 ** 20)
     out = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
         in_specs=[
             full(nodes),                           # node table: whole, VMEM
             # Leaf records: resident in VMEM when they fit (with the node

@@ -107,14 +107,27 @@ def main():
         return (r > 0.25) & (r < 4.0)
 
     skip_edge = dis & ~tie & (edge(hb2) | edge(hd2))
-    real = dis & ~tie & ~skip_edge
+    flip = dis & ~tie & ~skip_edge & (f_b != f_d)   # one side missed
+    real = dis & ~tie & ~skip_edge & ~flip
     n = dis.size
     frac = lambda m: round(float(m.sum()) / n, 6)
     print(f"bounce disagreement attribution: order-tie {frac(tie)}, "
-          f"skip-edge {frac(skip_edge)}, real {frac(real)} "
-          f"({int(real.sum())} rays)", file=sys.stderr, flush=True)
+          f"skip-edge {frac(skip_edge)}, found-flip {frac(flip)}, "
+          f"real {frac(real)} ({int(real.sum())} rays)",
+          file=sys.stderr, flush=True)
+    for m, name in ((flip, "flip"), (real, "real")):
+        idx = np.nonzero(m)[0][:6]
+        for i in idx:
+            d2b = ((np.asarray(hb2.position)[i] - kp[i]) ** 2).sum()
+            d2d = ((np.asarray(hd2.position)[i] - kp[i]) ** 2).sum()
+            print(f"  {name} ray {i}: bvh(prim={int(np.asarray(hb2.prim)[i])}"
+                  f" t={t_b[i]:.6g} skipratio={d2b/lim[i]:.3g}) "
+                  f"dense(prim={int(np.asarray(hd2.prim)[i])}"
+                  f" t={t_d[i]:.6g} skipratio={d2d/lim[i]:.3g}) "
+                  f"prev_prim={int(np.asarray(hd.prim)[i])}",
+                  file=sys.stderr, flush=True)
     attribution = {"order_tie": frac(tie), "skip_edge": frac(skip_edge),
-                   "real": frac(real)}
+                   "found_flip": frac(flip), "real": frac(real)}
 
     # --- stage 2: throughput at scale -------------------------------------
     t0 = time.perf_counter()
