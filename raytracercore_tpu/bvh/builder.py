@@ -264,7 +264,7 @@ def build_sphere_bvh(center: np.ndarray, radius: np.ndarray,
     return build_boxes_bvh(bmin, bmax, valid, leaf_size, dtype, backend)
 
 
-def auto_leaf_size(n_tris: int, requested: int = 64,
+def auto_leaf_size(n_tris: int, requested: int = 128,
                    vmem_budget_bytes: int = 12 * 2 ** 20) -> int:
     """Smallest leaf size ≥ ``requested`` whose packed node table fits the
     Pallas traversal's VMEM budget (pallas_traverse.PallasBVH keeps the
@@ -273,11 +273,12 @@ def auto_leaf_size(n_tris: int, requested: int = 64,
     triangles instead of silently falling back to the XLA walk
     (VERDICT r2 missing #1).
 
-    ``requested`` defaults to 64 — measured round 4 (46k-triangle scene,
-    v5e): iteration-synchronized node visits cost ~0.5-1 us per 8-chain
+    ``requested`` defaults to 128 — measured round 4 (v5e):
+    iteration-synchronized node visits cost ~0.5-1 us per 8-chain
     iteration while batched leaf tests are sync-free vector work, so wide
-    leaves win: bounce-wavefront traversal ran 326/179/142/118 ms per
-    262k-ray segment at leaf 4/16/32/64 (scripts/probe_walk_stats.py)."""
+    leaves win: bounce-wavefront segments ran 326/179/142/118/113 ms at
+    leaf 4/16/32/64/128 (46k tris, scripts/probe_walk_stats.py), full
+    passes 750/720 ms at 64/128 (184k) and 5,674/5,366 ms (1M)."""
     leaf = max(int(requested), 1)
     while leaf < 1024:
         est_nodes = 2 * -(-n_tris // leaf) + 1
