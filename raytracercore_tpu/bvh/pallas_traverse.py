@@ -514,64 +514,81 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         pends = carry[CHAINS:2 * CHAINS]
         stats = carry[2 * CHAINS:]
 
-        # --- Phase 1: gather the 8 chains' packed records into acc -------
-        # (record r's four words land at sublane r, lanes 0..3; pure
-        # vector values — no scratch round trip before the slab test)
-        acc = jnp.zeros(LANES, jnp.int32)
-        for r in range(CHAINS):
-            pe = jnp.minimum(ps[r], p_last)
-            rw = pe >> 5
-            j = pe & 31
-            w = nodes_ref[pl.ds(pl.multiple_of(rw & jnp.int32(-8), 8),
-                                8), :]
-            w = pltpu.roll(w, (128 - (j << 2)) & 127, axis=1)
-            w = pltpu.roll(w, (r - (rw & 7)) & 7, axis=0)
-            acc = jnp.where(row_iota == r, w, acc)
+        # --- Phase 1+2: gather + batched slab test for each chain's
+        # CURRENT node (p) and its SPECULATED successor (p+1).  Both
+        # links are fetch data (not test results), so the scalar side can
+        # advance up to TWO nodes per vector->scalar sync: the p+1 probe
+        # is consulted whenever step 1 lands there (enter or leaf
+        # escape); only a step-1 skip wastes the speculation.
+        def probe(offset):
+            acc = jnp.zeros(LANES, jnp.int32)
+            for r in range(CHAINS):
+                pe = jnp.minimum(ps[r] + offset, p_last)
+                rw = pe >> 5
+                j = pe & 31
+                w = nodes_ref[pl.ds(pl.multiple_of(rw & jnp.int32(-8), 8),
+                                    8), :]
+                w = pltpu.roll(w, (128 - (j << 2)) & 127, axis=1)
+                w = pltpu.roll(w, (r - (rw & 7)) & 7, axis=0)
+                acc = jnp.where(row_iota == r, w, acc)
 
-        # --- Phase 2: one batched slab test (row r vs chain r's node) ----
-        def unpk(c):
-            word = jax.lax.slice(acc, (0, c), (8, c + 1))  # (8, 1) i32
-            hi = jax.lax.bitcast_convert_type(
-                word & jnp.int32(-65536), jnp.float32)
-            lo = jax.lax.bitcast_convert_type(word << 16, jnp.float32)
-            return hi, lo
+            def unpk(c):
+                word = jax.lax.slice(acc, (0, c), (8, c + 1))  # (8,1) i32
+                hi = jax.lax.bitcast_convert_type(
+                    word & jnp.int32(-65536), jnp.float32)
+                lo = jax.lax.bitcast_convert_type(word << 16, jnp.float32)
+                return hi, lo
 
-        bx0, bx1 = unpk(0)
-        by0, by1 = unpk(1)
-        bz0, bz1 = unpk(2)
-        tx0 = (bx0 - o_x) * inv_x
-        tx1 = (bx1 - o_x) * inv_x
-        ty0 = (by0 - o_y) * inv_y
-        ty1 = (by1 - o_y) * inv_y
-        tz0 = (bz0 - o_z) * inv_z
-        tz1 = (bz1 - o_z) * inv_z
-        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        hitv = ((near <= far) & (far >= -eps_behind)
-                & (near <= best_t_ref[:]))
-        # ONE store, ONE vector->scalar sync per iteration: lane 0 = the
-        # chain's link word, lane 1 = its any-hit bit.
-        w3col = jax.lax.slice(acc, (0, 3), (8, 4))
-        hitcol = jnp.max(hitv.astype(jnp.int32), axis=1, keepdims=True)
+            bx0, bx1 = unpk(0)
+            by0, by1 = unpk(1)
+            bz0, bz1 = unpk(2)
+            tx0 = (bx0 - o_x) * inv_x
+            tx1 = (bx1 - o_x) * inv_x
+            ty0 = (by0 - o_y) * inv_y
+            ty1 = (by1 - o_y) * inv_y
+            tz0 = (bz0 - o_z) * inv_z
+            tz1 = (bz1 - o_z) * inv_z
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            hitv = ((near <= far) & (far >= -eps_behind)
+                    & (near <= best_t_ref[:]))
+            w3col = jax.lax.slice(acc, (0, 3), (8, 4))
+            hitcol = jnp.max(hitv.astype(jnp.int32), axis=1,
+                             keepdims=True)
+            return w3col, hitcol
+
+        w3a, hita = probe(0)
+        w3b, hitb = probe(1)
+        # ONE store, ONE vector->scalar sync per iteration: lanes 0-1 =
+        # current node's (link, hit), lanes 2-3 = speculated successor's.
         li128 = jax.lax.broadcasted_iota(jnp.int32, LANES, 1)
-        bits_ref[:] = jnp.where(li128 == 0, w3col,
-                                jnp.where(li128 == 1, hitcol, 0))
+        bits_ref[:] = jnp.where(
+            li128 == 0, w3a,
+            jnp.where(li128 == 1, hita,
+                      jnp.where(li128 == 2, w3b,
+                                jnp.where(li128 == 3, hitb, 0))))
 
         # --- Phase 3: per-chain scalar control ---------------------------
         nxt, pend2, blocked, slots = [], [], [], []
         for r in range(CHAINS):
             w3 = bits_ref[r, 0]
             hit_r = bits_ref[r, 1] > 0
+            w3s = bits_ref[r, 2]
+            hit_s = bits_ref[r, 3] > 0
             is_leaf = w3 < 0
+            leaf_s = w3s < 0
             active = ps[r] < n_nodes
             if walk_only:  # timing attribution: no DMA, no flush, no leaf
-                nxt.append(jnp.where(
+                n1 = jnp.where(
                     active, jnp.where(is_leaf | hit_r, ps[r] + 1, w3),
-                    ps[r]))
+                    ps[r])
+                at2 = (n1 == ps[r] + 1) & (ps[r] + 1 < n_nodes)
+                step2 = jnp.where(leaf_s | hit_s, ps[r] + 2, w3s)
+                nxt.append(jnp.where(at2, step2, n1))
                 pend2.append(pends[r])
                 blocked.append(active & (ps[r] < 0))  # constant False
                 slots.append(jnp.int32(-1))
@@ -587,10 +604,29 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
                 def _s(r=r, slot=slot):
                     start_dma(r, slot)
 
-            pend2.append(jnp.where(take, slot, pends[r]))
+            p1 = jnp.where(take, slot, pends[r])
             step = jnp.where(is_leaf | hit_r, ps[r] + 1, w3)
-            nxt.append(jnp.where(active & jnp.logical_not(blk),
-                                 step, ps[r]))
+            n1 = jnp.where(active & jnp.logical_not(blk), step, ps[r])
+
+            # Step 2: the chain sits at the speculated node p+1 — consult
+            # its pre-fetched (link, hit) and advance again when possible
+            # (a leaf it cannot take — pending occupied — simply waits
+            # there; the chain still made step-1 progress, so it is not
+            # "blocked" for the flush condition).
+            at2 = (n1 == ps[r] + 1) & (ps[r] + 1 < n_nodes)
+            want2 = at2 & hit_s & leaf_s
+            take2 = want2 & jnp.logical_not(p1 >= 0)
+            slot2 = -w3s - 1
+            if not leaf_resident:
+                @pl.when(take2)
+                def _s2a(r=r, slot2=slot2):
+                    start_dma(r, slot2)
+            p2 = jnp.where(take2, slot2, p1)
+            step2 = jnp.where(leaf_s | hit_s, ps[r] + 2, w3s)
+            adv2 = at2 & (jnp.logical_not(leaf_s)
+                          | jnp.logical_not(hit_s) | take2)
+            pend2.append(p2)
+            nxt.append(jnp.where(adv2, step2, n1))
             blocked.append(blk)
             slots.append(slot)
 
