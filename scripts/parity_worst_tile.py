@@ -1,12 +1,11 @@
 """Measure the bounce parity worst tile at high spp (VERDICT r3 #9).
 
-docs/PARITY.md attributes bounce's 1.56x noise-floor ratio to 256-spp
-caustic noise in the glass-lens tile at px (672, 528).  This script turns
-that argument into a measurement: render bounce.txt at 1200x1200 with a
-high sample count and report the worst tile's MAE vs the reference
-screenshot as spp grows — if the residual is sampling noise, the tile MAE
-must fall toward the converged level; if it were estimator bias it would
-plateau at the 256-spp value.
+Round-4 run (without exposure correction) measured the worst tile
+plateauing at MAE ~0.14 from 256 to 2048 spp, refuting the "caustic
+noise" story.  Round 5 root-caused that plateau as the screenshot's own
+baked-in exposure 1.5 (scripts/parity_rootcause.py, docs/PARITY.md); this
+script now applies the measured REF_EXPOSURE before comparing, so the
+worst-tile MAE should fall toward the self-noise level as spp grows.
 
 Usage: python scripts/parity_worst_tile.py [--spp 2048]
 """
@@ -19,13 +18,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from scripts.golden_parity import render  # noqa: E402
+from scripts.golden_parity import GAMMA, REF_EXPOSURE, render  # noqa: E402
 
 
-def tile_mae(ours_rgba, ref_rgba, px, tile=16):
+def tile_mae(ours_rgba, ref_rgba, px, tile=16,
+             exposure=REF_EXPOSURE["bounce"]):
     ours = ours_rgba.astype(np.float64) / 255.0
     ref = ref_rgba.astype(np.float64) / 255.0
     ours_p = ours[..., :3] * ours[..., 3:4]
+    ours_p = np.clip(ours_p * exposure ** (1 / GAMMA), 0.0, 1.0)
     ref_p = ref[..., :3] * ref[..., 3:4]
     x, y = px
     a = ours_p[y:y + tile, x:x + tile]
