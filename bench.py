@@ -62,6 +62,16 @@ def bench_call(fn, sync_out, n=TIMED):
 #   => ~3.85 T ops/s (1 op/slot), ~7.7 Tflop/s counting FMA as 2.
 FLOPS_PER_RAY_BOUNCE = 3600.0
 VPU_FMA_PEAK_TFLOPS = 7.7
+# MEASURED issue ceiling for the megakernel's op mix on one v5e core
+# (scripts/vpu_issue_bench.py, round 5): a Pallas microbenchmark running
+# register-resident chains at the kernel's measured op-class fractions
+# (~52% fma/mul/add, ~40% cmp/select/max, ~5% recip/rsqrt, ~3% exp)
+# sustains ~1.05 T op/s = ~1.35 Tflop/s in the FMA-counting convention
+# (converged across unroll 32/64; pure-FMA chains reach 1.44 T op/s, pure
+# reciprocal 0.36, pure exp 0.81 — the mix ceiling is real arithmetic
+# structure, not kernel overhead).  The marketing 7.7 Tflop/s assumes
+# every slot is an FMA; this mix cannot reach it on this hardware.
+MEASURED_MIX_ISSUE_TFLOPS = 1.35
 
 
 def kernel_equivalence(arrays, camera, key):
@@ -307,6 +317,9 @@ def main():
             "kernel_equiv_samepick_mismatch_frac": samepick,
             "model_tflops_fwd": round(tflops_fwd, 3),
             "vs_roofline_fwd": round(tflops_fwd / VPU_FMA_PEAK_TFLOPS, 4),
+            "vs_issue_measured": round(
+                tflops_fwd / MEASURED_MIX_ISSUE_TFLOPS, 4),
+            "measured_mix_issue_tflops": MEASURED_MIX_ISSUE_TFLOPS,
             "model_tflops_fwdbwd": round(tflops_fb, 3),
             "vs_roofline_fwdbwd": round(tflops_fb / VPU_FMA_PEAK_TFLOPS, 4),
             **bvh_extra,

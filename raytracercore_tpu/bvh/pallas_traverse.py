@@ -138,8 +138,12 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
     """[L, K*TRI_F] f32 leaf-triangle blocks, DMA-ready.
 
     Per-triangle layout (TRI_F floats):
-      v0(3), e1(3), e2(3), fn(3) face normal, row, mirror, invert, two_sided
-    Empty slots have row = -1.
+      v0(3), e1(3), e2(3), fn(3) face normal, row,
+      flags (mirror | invert<<1 | two_sided<<2), prim_id, pad
+    Empty slots have row = prim = -1.  prim_id rides in the record so the
+    kernel can emit the full winner hit detail (round 5) without any
+    XLA-side [R]-row gathers — the measured dominant cost of the
+    per-bounce "eval" stage (scripts/prof_scale.py).
     """
     leaf_prims = np.asarray(bvh.leaf_prims)
     L, K = leaf_prims.shape
@@ -158,6 +162,7 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
     K_pad = -(-K // 8) * 8
     out = np.zeros((L, K_pad, TRI_F), np.float32)
     out[..., 12] = -1.0
+    out[..., 14] = -1.0
     rows = np.maximum(leaf_prims, 0)
     valid = leaf_prims >= 0
     out[:, :K, 0:3] = v0[rows]
@@ -165,10 +170,12 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
     out[:, :K, 6:9] = e2[rows]
     out[:, :K, 9:12] = fn[rows]
     out[:, :K, 12] = np.where(valid, leaf_prims, -1).astype(np.float32)
-    out[:, :K, 13] = mirror[rows].astype(np.float32)
     pid = np.maximum(prim_id[rows], 0)
-    out[:, :K, 14] = (invert[pid] & valid).astype(np.float32)
-    out[:, :K, 15] = (two_sided[pid] | ~valid).astype(np.float32)
+    out[:, :K, 13] = (mirror[rows].astype(np.int32)
+                      + 2 * (invert[pid] & valid).astype(np.int32)
+                      + 4 * (two_sided[pid] | ~valid).astype(np.int32)
+                      ).astype(np.float32)
+    out[:, :K, 14] = np.where(valid, prim_id[rows], -1).astype(np.float32)
     out = out.reshape(L, K_pad * TRI_F)
     # Pad rows to a multiple of 8: the resident-mode flush fetches an
     # 8-aligned (8, W) window around each pending slot.
@@ -176,6 +183,7 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
     if L_pad:
         pad = np.zeros((L_pad, K_pad * TRI_F), np.float32)
         pad[:, 12::TRI_F] = -1.0
+        pad[:, 14::TRI_F] = -1.0
         out = np.concatenate([out, pad])
     return out
 
@@ -184,9 +192,9 @@ def pack_leaf_spheres(bvh: BVHArrays, sph, mats) -> np.ndarray:
     """[L, K*SPH_F] f32 leaf-sphere blocks, DMA-ready.
 
     Per-sphere layout (SPH_F floats):
-      center(3), radius, row, invert, two_sided, pad
-    Empty slots have row = -1.  Only untransformed spheres belong here
-    (build_sphere_bvh); the kernel test is the plain quadratic.
+      center(3), radius, row, invert, two_sided, prim_id
+    Empty slots have row = prim = -1.  Only untransformed spheres belong
+    here (build_sphere_bvh); the kernel test is the plain quadratic.
     """
     leaf_prims = np.asarray(bvh.leaf_prims)
     L, K = leaf_prims.shape
@@ -200,6 +208,7 @@ def pack_leaf_spheres(bvh: BVHArrays, sph, mats) -> np.ndarray:
     K_pad = -(-K // 16) * 16
     out = np.zeros((L, K_pad, SPH_F), np.float32)
     out[..., 4] = -1.0
+    out[..., 7] = -1.0
     rows = np.maximum(leaf_prims, 0)
     valid = leaf_prims >= 0
     out[:, :K, 0:3] = center[rows]
@@ -208,11 +217,13 @@ def pack_leaf_spheres(bvh: BVHArrays, sph, mats) -> np.ndarray:
     pid = np.maximum(prim_id[rows], 0)
     out[:, :K, 5] = (invert[pid] & valid).astype(np.float32)
     out[:, :K, 6] = (two_sided[pid] | ~valid).astype(np.float32)
+    out[:, :K, 7] = np.where(valid, prim_id[rows], -1).astype(np.float32)
     out = out.reshape(L, K_pad * SPH_F)
     L_pad = (-L) % 8
     if L_pad:
         pad = np.zeros((L_pad, K_pad * SPH_F), np.float32)
         pad[:, 4::SPH_F] = -1.0
+        pad[:, 7::SPH_F] = -1.0
         out = np.concatenate([out, pad])
     return out
 
@@ -222,8 +233,8 @@ def pack_leaf_ellipsoids(bvh: BVHArrays, sph, mats) -> np.ndarray:
 
     Per-record layout (SPT_F floats):
       w2o rows (12), o2w rows (12), center(3), radius, row, invert,
-      two_sided, pad.  Empty slots have row = -1.  The kernel leaf test
-    runs the object-space quadratic with per-root world mapping
+      two_sided, prim_id.  Empty slots have row = prim = -1.  The kernel
+    leaf test runs the object-space quadratic with per-root world mapping
     (Sphere.cs:156-209 via kernel_body.sphere_pass semantics).
     """
     leaf_prims = np.asarray(bvh.leaf_prims)
@@ -239,6 +250,7 @@ def pack_leaf_ellipsoids(bvh: BVHArrays, sph, mats) -> np.ndarray:
     K_pad = -(-K // 4) * 4          # 4 * SPT_F = 128 floats per lane row
     out = np.zeros((L, K_pad, SPT_F), np.float32)
     out[..., 28] = -1.0
+    out[..., 31] = -1.0
     rows = np.maximum(leaf_prims, 0)
     valid = leaf_prims >= 0
     out[:, :K, 0:12] = w2o[rows]
@@ -249,11 +261,13 @@ def pack_leaf_ellipsoids(bvh: BVHArrays, sph, mats) -> np.ndarray:
     pid = np.maximum(prim_id[rows], 0)
     out[:, :K, 29] = (invert[pid] & valid).astype(np.float32)
     out[:, :K, 30] = (two_sided[pid] | ~valid).astype(np.float32)
+    out[:, :K, 31] = np.where(valid, prim_id[rows], -1).astype(np.float32)
     out = out.reshape(L, K_pad * SPT_F)
     L_pad = (-L) % 8
     if L_pad:
         pad = np.zeros((L_pad, K_pad * SPT_F), np.float32)
         pad[:, 28::SPT_F] = -1.0
+        pad[:, 31::SPT_F] = -1.0
         out = np.concatenate([out, pad])
     return out
 
@@ -263,10 +277,18 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
                      sk_scale, out_row, out_t, *rest,
                      n_nodes, K, eps_behind, eps_pos, leaf_kind="tri",
                      want_stats=False, walk_only=False, leaf_resident=True):
+    # Detail outputs (round 5): the winner's full hit record is committed
+    # IN-KERNEL per leaf-record test, so the dispatch layer never gathers
+    # [R] rows from the primitive tables (XLA row gathers measured as the
+    # dominant per-bounce "eval" cost at scale, scripts/prof_scale.py).
+    (out_prim, out_px, out_py, out_pz, out_nx, out_ny, out_nz,
+     out_ifl, out_u, out_v) = rest[:10]
+    rest = rest[10:]
     if want_stats:
         out_stats = rest[0]
         rest = rest[1:]
-    (leaf_vmem, best_t_ref, best_row_ref, bits_ref, sems) = rest
+    (leaf_vmem, best_t_ref, best_row_ref, best_d_ref, bits_ref,
+     sems) = rest
     o_x = ox[:].reshape(LANES)
     o_y = oy[:].reshape(LANES)
     o_z = oz[:].reshape(LANES)
@@ -291,6 +313,10 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
 
     best_t_ref[:] = jnp.full(LANES, jnp.inf, jnp.float32)
     best_row_ref[:] = jnp.full(LANES, NEG, jnp.float32)
+    zeros_l = jnp.zeros(LANES, jnp.float32)
+    for _k in range(10):
+        best_d_ref[_k] = jnp.full(LANES, NEG, jnp.float32) if _k == 0 \
+            else zeros_l
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, LANES, 0)
     row_iota1 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -299,15 +325,19 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         """Per-row packed triangles ((8, 1) reads via m(col)) vs all lanes
         — each sublane row tests ITS OWN pending leaf's record against its
         own 128-ray sub-beam.  Mirrors kernel_body.triangle_pass validity
-        semantics exactly."""
+        semantics exactly.  Returns the full candidate detail (FLAT
+        normal; smooth scenes re-interpolate the winner's normal XLA-side
+        from the committed u/v — dispatch.make_bvh_closest_fn)."""
         v0x, v0y, v0z = m(0), m(1), m(2)
         e1x, e1y, e1z = m(3), m(4), m(5)
         e2x, e2y, e2z = m(6), m(7), m(8)
         fnx, fny, fnz = m(9), m(10), m(11)
         row = m(12)
-        mirror = m(13) != 0
-        inv_f = m(14) != 0
-        two_s = m(15) != 0
+        flag_i = m(13).astype(jnp.int32)
+        mirror = (flag_i & 1) != 0
+        inv_f = (flag_i & 2) != 0
+        two_s = (flag_i & 4) != 0
+        prim = m(14)
 
         sx = d_y * e2z - d_z * e2y
         sy = d_z * e2x - d_x * e2z
@@ -345,7 +375,12 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         parity = jnp.logical_xor(k_leaving, inside == k_inside)
         match = (k_row == row) & (k_row >= 0) & pos_close & parity
         ok = ok & ~match
-        return ok, tt, row
+        flip = jnp.where(inside_geo, -1.0, 1.0)
+        ifl = (jnp.where(inside, 1.0, 0.0)
+               + jnp.where(inside_geo, 2.0, 0.0))
+        detail = (prim, hx, hy, hz, fnx * flip, fny * flip, fnz * flip,
+                  ifl, u, v)
+        return ok, tt, row, detail
 
     # Normalized ray directions for the sphere tests: the dense path
     # re-normalizes (Ray.Transform, Ray.cs:43-50) and on TANGENT rays the
@@ -369,6 +404,7 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         row = m(4)
         inv_f = m(5) != 0
         two_s = m(6) != 0
+        prim = m(7)
 
         fx, fy, fz = o_x - cx, o_y - cy, o_z - cz
         b = -2.0 * (fx * n_x + fy * n_y + fz * n_z)
@@ -397,8 +433,31 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         far_ok = (any_hit & (two_s | jnp.logical_not(inside_far))
                   & ~skipm(t_far, inside_far))
         ok = near_ok | far_ok
-        tt = jnp.where(near_ok, t_near, t_far)
-        return ok, tt, row
+        # Return t in the dense path's world metric d·(pos−o) = |d|·t_n̂
+        # (t_near/t_far are distances along the RE-normalized direction):
+        # the dispatch merge compares tiers' t directly (t_b <= t_best),
+        # and a mixed convention can flip near-tie winner picks when |d|
+        # drifts between the every-3rd-bounce renormalizations.
+        t_pick = jnp.where(near_ok, t_near, t_far)
+        tt = t_pick * dn_len
+        # Hit detail (Sphere.GetHit, Sphere.cs:156-173): position along
+        # the normalized direction, normal (pos - c)/r negated on the
+        # geometric-inside (far) root.
+        hx = o_x + n_x * t_pick
+        hy = o_y + n_y * t_pick
+        hz = o_z + n_z * t_pick
+        inv_r = 1.0 / r
+        gflip = jnp.where(near_ok, inv_r, -inv_r)
+        # inside/geo flags as f32 arithmetic — Mosaic rejects selects
+        # BETWEEN 1-bit vectors (selecting on an i1 condition is fine).
+        in_n_f = jnp.where(inside_near, 1.0, 0.0)
+        in_f_f = jnp.where(inside_far, 1.0, 0.0)
+        ifl = (jnp.where(near_ok, in_n_f, in_f_f)
+               + jnp.where(near_ok, 0.0, 2.0))  # far root = geo-inside
+        detail = (prim, hx, hy, hz, (hx - cx) * gflip, (hy - cy) * gflip,
+                  (hz - cz) * gflip, ifl, jnp.zeros_like(tt),
+                  jnp.zeros_like(tt))
+        return ok, tt, row, detail
 
     def spht_test(m):
         """Per-row packed TRANSFORMED spheres (ellipsoids): the full
@@ -411,6 +470,7 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         row = m(28)
         inv_f = m(29) != 0
         two_s = m(30) != 0
+        prim = m(31)
 
         oox = m(0) * o_x + m(1) * o_y + m(2) * o_z + m(3)
         ooy = m(4) * o_x + m(5) * o_y + m(6) * o_z + m(7)
@@ -446,14 +506,37 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
             parity = jnp.logical_xor(k_leaving, inside == k_inside)
             match = (k_row == row) & (k_row >= 0) & pos_close & parity
             valid = valid & (two_s | ~inside) & ~match
-            return tw, valid
+            # World normal (Sphere.GetHit, Sphere.cs:156-173):
+            # MatrixToNormal = w2o^T applied to the object normal,
+            # normalized, negated on the geometric-inside (far) root.
+            inv_rad = 1.0 / rad
+            qx = (px - cx) * inv_rad
+            qy = (py - cy) * inv_rad
+            qz = (pz - cz) * inv_rad
+            nwx = m(0) * qx + m(4) * qy + m(8) * qz
+            nwy = m(1) * qx + m(5) * qy + m(9) * qz
+            nwz = m(2) * qx + m(6) * qy + m(10) * qz
+            nrl = jax.lax.rsqrt(
+                jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz, 1e-30))
+            flip = -nrl if inv_b else nrl
+            return tw, valid, (wx, wy, wz), \
+                (nwx * flip, nwy * flip, nwz * flip), inside
 
-        t_near, near_ok = eval_root((b - radix) * 0.5, any_hit & both,
-                                    False)
-        t_far, far_ok = eval_root((b + radix) * 0.5, any_hit, True)
+        t_near, near_ok, pos_n, nrm_n, in_n = eval_root(
+            (b - radix) * 0.5, any_hit & both, False)
+        t_far, far_ok, pos_f, nrm_f, in_f = eval_root(
+            (b + radix) * 0.5, any_hit, True)
         ok = near_ok | far_ok
         tt = jnp.where(near_ok, t_near, t_far)
-        return ok, tt, row
+        pk = lambda a, b2: jnp.where(near_ok, a, b2)
+        # f32 flag arithmetic — no selects between i1 vectors (Mosaic).
+        ifl = (pk(jnp.where(in_n, 1.0, 0.0), jnp.where(in_f, 1.0, 0.0))
+               + pk(jnp.zeros_like(tt), jnp.full_like(tt, 2.0)))
+        detail = (prim, pk(pos_n[0], pos_f[0]), pk(pos_n[1], pos_f[1]),
+                  pk(pos_n[2], pos_f[2]), pk(nrm_n[0], nrm_f[0]),
+                  pk(nrm_n[1], nrm_f[1]), pk(nrm_n[2], nrm_f[2]),
+                  ifl, jnp.zeros_like(tt), jnp.zeros_like(tt))
+        return ok, tt, row, detail
 
     rec_f = {"tri": TRI_F, "sph": SPH_F, "spht": SPT_F}[leaf_kind]
     leaf_test = {"tri": tri_test, "sph": sph_test,
@@ -500,11 +583,14 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
                            (pends[r] >= 0).astype(jnp.int32), mi)
         maskb = mi != 0
         for k in range(K):
-            ok, tt, row = leaf_test(
+            ok, tt, row, detail = leaf_test(
                 lambda c, k=k: leaf_vmem[:, k * rec_f + c:k * rec_f + c + 1])
             better = ok & (tt < best_t_ref[:]) & maskb
             best_t_ref[:] = jnp.where(better, tt, best_t_ref[:])
             best_row_ref[:] = jnp.where(better, row, best_row_ref[:])
+            for j in range(10):
+                best_d_ref[j] = jnp.where(better, detail[j],
+                                          best_d_ref[j])
 
     p_last = jnp.int32(n_nodes - 1)
     N_STATS = 5  # iters, visits, leaf-takes, flushes, flush-fill
@@ -699,6 +785,9 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
 
     out_row[:] = best_row_ref[:].reshape(-1)
     out_t[:] = best_t_ref[:].reshape(-1)
+    for j, ref in enumerate((out_prim, out_px, out_py, out_pz, out_nx,
+                             out_ny, out_nz, out_ifl, out_u, out_v)):
+        ref[:] = best_d_ref[j].reshape(-1)
 
 
 @functools.partial(jax.jit,
@@ -721,11 +810,13 @@ def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
         eps_behind=float(eps_behind), eps_pos=float(eps_pos),
         leaf_kind=leaf_kind, want_stats=want_stats, walk_only=walk_only,
         leaf_resident=leaf_resident)
-    out_shape = [jax.ShapeDtypeStruct((R,), jnp.float32),
-                 jax.ShapeDtypeStruct((R,), jnp.float32)]
-    out_specs = [ray_spec, ray_spec]
+    # Outputs: row, t, then the 10 winner-detail planes (prim, pos3,
+    # flat-normal3, inside-flags, u, v), then optional stats.
+    f32r = jax.ShapeDtypeStruct((R,), jnp.float32)
+    out_shape = [f32r] * 12
+    out_specs = [ray_spec] * 12
     if want_stats:
-        out_shape.append(jax.ShapeDtypeStruct((R,), jnp.float32))
+        out_shape.append(f32r)
         out_specs.append(ray_spec)
     # The resident tables legitimately exceed the 16 MB default scoped-VMEM
     # limit at scale (the 1M-triangle leaf table alone is ~90 MB; v5e has
@@ -752,6 +843,7 @@ def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
             pltpu.VMEM((CHAINS, leaf_tris.shape[1]), jnp.float32),
             pltpu.VMEM(LANES, jnp.float32),
             pltpu.VMEM(LANES, jnp.float32),
+            pltpu.VMEM((10,) + LANES, jnp.float32),
             pltpu.VMEM(LANES, jnp.int32),
             pltpu.SemaphoreType.DMA((CHAINS,)),
         ],
@@ -825,9 +917,18 @@ class PallasBVH:
 
     def select(self, ray_o, ray_d, skip, eps_behind, eps_pos,
                interpret=False, sort: bool = False, want_stats=False,
-               walk_only=False):
+               walk_only=False, want_detail=False):
         # (leaf residency is decided per-instance in _init_common)
         """(best_row [R] i32 or -1, any [R] bool) — dispatch tri_select.
+
+        ``want_detail=True`` additionally returns the winner's full hit
+        detail committed in-kernel (round 5): a dict with ``prim`` (i32),
+        ``pos`` [R, 3], ``nrm`` [R, 3] (FLAT normal for triangles),
+        ``inside``/``inside_geo`` (bool) and ``u``/``v`` — so the
+        dispatch layer builds the HitRecord with ZERO [R]-row gathers
+        from the primitive tables (the measured dominant per-bounce eval
+        cost, scripts/prof_scale.py).  Detail is stop-gradient geometry
+        by construction.
 
         ``sort=True`` permutes rays into (octant, Morton) order before the
         kernel and inverts the permutation after — re-forming coherent
@@ -887,13 +988,32 @@ class PallasBVH:
             want_stats=want_stats, walk_only=walk_only,
             leaf_resident=self.leaf_resident)
         row, t = out[0], out[1]
+        detail_planes = out[2:12]
         if idx_s is not None:
-            # Un-permute by sorting back on the carried original index.
-            _, row, t = jax.lax.sort((idx_s, row, t), num_keys=1)
+            # Un-permute by sorting back on the carried original index
+            # (one multi-payload sort — see the forward-sort note above).
+            back = jax.lax.sort((idx_s, row, t)
+                                + (detail_planes if want_detail else ()),
+                                num_keys=1)
+            row, t = back[1], back[2]
+            if want_detail:
+                detail_planes = back[3:]
         row = row[:R].astype(jnp.int32)
         res = jnp.maximum(row, 0), row >= 0, t[:R]
+        if want_detail:
+            (dp, dpx, dpy, dpz, dnx, dny, dnz, difl, du, dv) = (
+                p[:R] for p in detail_planes)
+            ifl = difl.astype(jnp.int32)
+            res = res + ({
+                "prim": dp.astype(jnp.int32),
+                "pos": jnp.stack([dpx, dpy, dpz], axis=1),
+                "nrm": jnp.stack([dnx, dny, dnz], axis=1),
+                "inside": (ifl & 1) != 0,
+                "inside_geo": (ifl & 2) != 0,
+                "u": du, "v": dv,
+            },)
         if want_stats:
-            return res + (out[2].reshape(-1, BLOCK)[:, :8],)
+            return res + (out[12].reshape(-1, BLOCK)[:, :8],)
         return res
 
 

@@ -31,6 +31,19 @@ PALLAS_MAX_PRIMS = 768
 # kernel instead (one bounce per launch — 1/bounces the scoped pressure).
 FUSED_MAX_PRIMS = 64
 
+# Megakernel triangle test: keep the scalar path's coplanar ray-in-plane
+# branch (Triangle.cs:161-171)?  False matches the reference's own
+# PRODUCTION tier — its AVX path (RayTraceAVXFaster, Triangle.cs:107-125,
+# active whenever AVX2+FMA exist, i.e. on the benchmark machine) has no
+# coplanar branch (NaN-scrubs 1/det and falls through) — and saves ~10%
+# of megakernel ops (the kernel is issue-bound at the measured VPU rate,
+# docs/ROOFLINE.md, so op count converts ~1:1 to time).  det == 0 is
+# measure-zero under jittered camera rays; bench.py's on-hardware
+# megakernel-vs-XLA equivalence check (the XLA integrator keeps exact
+# scalar semantics) guards the fraction empirically — still 1.0000 with
+# this False.  Set True to restore the scalar branch in-kernel.
+FUSED_COPLANAR_BRANCH = False
+
 # Renderer(accelerator="auto") switches triangles to the BVH above this
 # count.  Set to the Pallas cap: below it the fused megakernel (whole bounce
 # loop in VMEM) wins by a wide margin — the threshold is a capability

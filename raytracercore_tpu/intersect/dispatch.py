@@ -225,94 +225,6 @@ def _sphere_select_rt(scene, ray_o, ray_d, skip, eps_pos, want_t=False):
     return idx, use_near, any_
 
 
-def _skip_match_1(ray_d, cand_pos, cand_inside, cand_prim, skip, eps):
-    """Util.RayHitMatches on [R]-shaped single candidates (the [R, N]
-    grid version is :func:`_skip_match`)."""
-    if skip is None:
-        return jnp.zeros(cand_prim.shape, bool)
-    same_prim = cand_prim == skip.prim
-    d2 = jnp.sum((cand_pos - skip.position) ** 2, axis=-1)
-    scale = 1.0 + jnp.sum(skip.position ** 2, axis=-1)
-    pos_close = d2 <= (eps * eps) * scale
-    leaving = jnp.sum(ray_d * skip.normal, axis=-1) > 0
-    parity = jnp.where(leaving, cand_inside != skip.inside,
-                       cand_inside == skip.inside)
-    return same_prim & pos_close & parity & (skip.prim >= 0)
-
-
-def _sphere_near_valid_single(scene, rows, ray_o, ray_d, skip, eps_pos):
-    """use_near for a single UNTRANSFORMED sphere row per ray: re-derives
-    the near root's validity (existence + two-sided/invert cull + skip
-    rule) with exactly the Pallas sphere-leaf test's semantics, so the
-    winner evaluation picks the same root the traversal committed."""
-    sph = scene.spheres
-    mats = scene.materials
-    take = lambda a: jnp.take(a, rows, axis=0)
-    center, radius = take(sph.center), take(sph.radius)
-    prim_ids = take(sph.prim_id)
-    safe = jnp.maximum(prim_ids, 0)
-    invert = jnp.take(mats.invert, safe)
-    two_sided = jnp.take(mats.two_sided, safe)
-
-    # Renormalize d exactly like the dense path (Ray.Transform
-    # re-normalizes, Ray.cs:43-50) so grazing-ray root choices can't flip
-    # between this evaluator and the [R, S] grid.
-    d = ray_d / vm.safe_sqrt(jnp.sum(ray_d * ray_d, axis=-1))[:, None]
-    off = ray_o - center
-    b = -2.0 * jnp.sum(off * d, axis=-1)
-    cq = jnp.sum(off * off, axis=-1) - radius ** 2
-    disc = b * b - 4.0 * cq
-    has = disc >= 0
-    radix = jnp.sqrt(jnp.where(has, disc, 0.0))
-    any_hit = has & (radix >= -b)
-    both = radix < b
-    t_near = (b - radix) * 0.5
-    inside_near = invert  # geometric False ^ invert
-    pos = ray_o + d * t_near[:, None]
-    match = _skip_match_1(ray_d, pos, inside_near, prim_ids, skip, eps_pos)
-    return any_hit & both & (two_sided | ~inside_near) & ~match
-
-
-def _sphere_near_valid_single_t(scene, rows, ray_o, ray_d, skip, eps_pos):
-    """use_near for a single TRANSFORMED sphere row per ray (the
-    ellipsoid-BVH winner): object-space quadratic through world_to_obj
-    with renormalized direction, near-root validity + skip rule on the
-    WORLD hit position — exactly the kernel's spht leaf-test semantics
-    (pallas_traverse.spht_test / Sphere.cs:156-209)."""
-    sph = scene.spheres
-    mats = scene.materials
-    take = lambda a: jnp.take(a, rows, axis=0)
-    center, radius = take(sph.center), take(sph.radius)
-    w2o, o2w = take(sph.world_to_obj), take(sph.obj_to_world)
-    prim_ids = take(sph.prim_id)
-    safe = jnp.maximum(prim_ids, 0)
-    invert = jnp.take(mats.invert, safe)
-    two_sided = jnp.take(mats.two_sided, safe)
-
-    o_obj = (jnp.einsum("rij,rj->ri", w2o[:, :3, :3], ray_o)
-             + w2o[:, :3, 3])
-    d_obj = jnp.einsum("rij,rj->ri", w2o[:, :3, :3], ray_d)
-    d_obj = d_obj / vm.safe_sqrt(
-        jnp.sum(d_obj * d_obj, axis=-1))[:, None]
-    off = o_obj - center
-    b = -2.0 * jnp.sum(off * d_obj, axis=-1)
-    cq = jnp.sum(off * off, axis=-1) - radius ** 2
-    disc = b * b - 4.0 * cq
-    has = disc >= 0
-    radix = jnp.sqrt(jnp.where(has, disc, 0.0))
-    any_hit = has & (radix >= -b)
-    both = radix < b
-    t_near = (b - radix) * 0.5
-    inside_near = invert  # geometric False ^ invert
-    pos_obj = o_obj + d_obj * t_near[:, None]
-    pos_w = (jnp.einsum("rij,rj->ri", o2w[:, :3, :3], pos_obj)
-             + o2w[:, :3, 3])
-    match = _skip_match_1(ray_d, pos_w, inside_near, prim_ids, skip,
-                          eps_pos)
-    return any_hit & both & (two_sided | ~inside_near) & ~match
-
-
-
 def _sphere_winner_eval(scene, idx, use_near, any_, ray_o, ray_d):
     """Phase 2 (differentiable): re-solve the winning sphere per ray
     (Sphere.DoRayTrace math on [R] gathered rows, Sphere.cs:175-209)."""
@@ -521,24 +433,22 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
                    and pallas_bvh.n_nodes * pallas_bvh.K > 16384)
 
     def tri_select_bvh(scene_sg, o_sg, d_sg, skip_sg, eps_behind, eps_pos):
-        on_tpu = jax.default_backend() == "tpu"
-        if pallas_bvh is not None and (on_tpu or traversal == "pallas"):
-            row, any_, _t = pallas_bvh.select(o_sg, d_sg, skip_sg,
-                                              eps_behind, eps_pos,
-                                              interpret=not on_tpu,
-                                              sort=do_sort)
-            return row, any_
         best_idx, _ = traverse_closest(bvh, scene_sg.triangles,
                                        scene_sg.materials, o_sg, d_sg,
                                        skip_sg, eps_behind, eps_pos)
         return jnp.maximum(best_idx, 0), best_idx >= 0
+
+    # Static per-scene facts for the kernel-detail path (concrete arrays
+    # at closure-build time).
+    import numpy as _np0
+    tri_any_smooth = (scene is not None
+                      and bool(_np0.asarray(scene.triangles.smooth).any()))
 
     # --- sphere acceleration (reference: IBoundedObject bounds every
     # primitive type, Scene.cs:39-49) — a parallel sphere-BVH over the
     # UNTRANSFORMED spheres and an ellipsoid-BVH over the TRANSFORMED ones
     # (exact affine world AABBs, Sphere.cs:220-232 / AABB.cs:22-36); only
     # tiny tables stay on the dense scan.
-    sphere_select_fn = None
     sphere_bvh = None
     ell_bvh = None
     if pallas_bvh is not None and scene is not None:
@@ -597,52 +507,109 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
                     transformed=tk(sp.transformed),
                     prim_id=tk(sp.prim_id))
 
-            def sphere_select_fn(scene_sg, o_sg, d_sg, skip_sg, eps_pos):
-                on_tpu = jax.default_backend() == "tpu"
-                if not (on_tpu or traversal == "pallas"):
-                    return _sphere_select(scene_sg, o_sg, d_sg, skip_sg,
-                                          eps_pos)
-                R = o_sg.shape[0]
-                if row_map is not None:
-                    idx_c, use_near, any_, t_best = _sphere_select_rt(
-                        scene_sg.replace(spheres=dense_view), o_sg, d_sg,
-                        skip_sg, eps_pos, want_t=True)
-                    idx = jnp.take(row_map, idx_c)
-                else:
-                    idx = jnp.zeros((R,), jnp.int32)
-                    use_near = jnp.zeros((R,), bool)
-                    any_ = jnp.zeros((R,), bool)
-                    t_best = jnp.full((R,), jnp.inf, o_sg.dtype)
-                eps_b = vm.near_enough(o_sg.dtype)
-                if sphere_bvh is not None:
-                    row_b, any_b, t_b = sphere_bvh.select(
-                        o_sg, d_sg, skip_sg, eps_b, eps_pos,
-                        interpret=not on_tpu, sort=do_sort)
-                    use_b = any_b & (~any_ | (t_b <= t_best))
-                    near_b = _sphere_near_valid_single(
-                        scene_sg, jnp.maximum(row_b, 0), o_sg, d_sg,
-                        skip_sg, eps_pos)
-                    idx = jnp.where(use_b, row_b, idx)
-                    use_near = jnp.where(use_b, near_b, use_near)
-                    t_best = jnp.where(use_b, t_b, t_best)
-                    any_ = any_ | any_b
-                if ell_bvh is not None:
-                    row_e, any_e, t_e = ell_bvh.select(
-                        o_sg, d_sg, skip_sg, eps_b, eps_pos,
-                        interpret=not on_tpu, sort=do_sort)
-                    use_e = any_e & (~any_ | (t_e <= t_best))
-                    near_e = _sphere_near_valid_single_t(
-                        scene_sg, jnp.maximum(row_e, 0), o_sg, d_sg,
-                        skip_sg, eps_pos)
-                    idx = jnp.where(use_e, row_e, idx)
-                    use_near = jnp.where(use_e, near_e, use_near)
-                    t_best = jnp.where(use_e, t_e, t_best)
-                    any_ = any_ | any_e
-                return idx, use_near, any_
+    def _rec_from_detail(any_, t, det):
+        """Kernel detail dict → winner-record dict (the _combine shape)."""
+        return {"t": _fin(jnp.where(any_, t, 0.0)), "any": any_,
+                "prim": det["prim"], "inside": det["inside"],
+                "position": det["pos"], "normal": det["nrm"]}
+
+    def _merge2(a, b):
+        """Take b only where STRICTLY closer — preserves _combine's
+        first-table-wins tie rule (tri before sphere before plane)."""
+        use_b = b["any"] & (~a["any"] | (b["t"] < a["t"]))
+        sel = use_b[:, None]
+        return {"t": jnp.where(use_b, b["t"], a["t"]),
+                "any": a["any"] | b["any"],
+                "prim": jnp.where(use_b, b["prim"], a["prim"]),
+                "inside": jnp.where(use_b, b["inside"], a["inside"]),
+                "position": jnp.where(sel, b["position"], a["position"]),
+                "normal": jnp.where(sel, b["normal"], a["normal"])}
+
+    def _tri_smooth_fixup(scene_sg, row, det):
+        """Re-interpolate the winner's SMOOTH normal XLA-side
+        (Triangle.GetNormal, Triangle.cs:209-224) from the kernel's
+        committed (u, v): only the per-vertex normal planes are gathered
+        — the kernel already supplied everything else."""
+        tri = scene_sg.triangles
+        safe = jnp.maximum(row, 0)
+        g3 = lambda a: jnp.take(a, safe, axis=0)
+        smooth = jnp.take(tri.smooth, safe)
+        u, v = det["u"], det["v"]
+        w2 = u + v
+        n_int = (g3(tri.n0) * u[:, None] + g3(tri.n1) * v[:, None]
+                 + g3(tri.n2) * w2[:, None])
+        n_int = vm.normalize(n_int, eps=1e-30)
+        fn = g3(tri.normal)
+        dotf = jnp.sum(n_int * fn, axis=-1, keepdims=True)
+        refl = n_int - fn * (2.0 * dotf)
+        n_sm = jnp.where(det["inside_geo"][:, None], refl, n_int)
+        nrm = jnp.where(smooth[:, None], n_sm, det["nrm"])
+        return dict(det, nrm=nrm)
+
+    def _closest_kernel_detail(scene_arg, ray_o, ray_d, skip, on_tpu):
+        """TPU closest-hit: every accelerated tier returns its winner's
+        full record from the traversal kernel; only the (tiny) dense
+        sphere tail and planes run XLA-side.  Geometry is stop-gradient —
+        the material-gradient train path never differentiates geometry
+        (render/replay.py), and forward rendering takes no gradients."""
+        dtype = ray_o.dtype
+        eps_behind = vm.near_enough(dtype)
+        eps_pos = _position_eps(dtype)
+        sg = jax.lax.stop_gradient
+        scene_sg = _sg_tree(scene_arg)
+        o_sg, d_sg = sg(ray_o), sg(ray_d)
+        skip_sg = _sg_tree(skip)
+
+        row, any_t, t_t, det_t = pallas_bvh.select(
+            o_sg, d_sg, skip_sg, eps_behind, eps_pos,
+            interpret=not on_tpu, sort=do_sort, want_detail=True)
+        if tri_any_smooth:
+            det_t = _tri_smooth_fixup(scene_sg, row, det_t)
+        rec = _rec_from_detail(any_t, t_t, det_t)
+
+        if sphere_bvh is not None or ell_bvh is not None:
+            if row_map is not None:
+                idx_c, use_near, any_d, t_d = _sphere_select_rt(
+                    scene_sg.replace(spheres=dense_view), o_sg, d_sg,
+                    skip_sg, eps_pos, want_t=True)
+                idx = jnp.take(row_map, idx_c)
+                sph_w = _sphere_winner_eval(scene_sg, idx, use_near,
+                                            any_d, o_sg, d_sg)
+                sph_w["t"] = jnp.where(any_d, t_d, 0.0)
+                rec = _merge2(rec, sph_w)
+            for b in (sphere_bvh, ell_bvh):
+                if b is None:
+                    continue
+                _, any_b, t_b, det_b = b.select(
+                    o_sg, d_sg, skip_sg, eps_behind, eps_pos,
+                    interpret=not on_tpu, sort=do_sort, want_detail=True)
+                rec = _merge2(rec, _rec_from_detail(any_b, t_b, det_b))
+        elif scene_arg.spheres.radius.shape[0]:
+            idx_s, use_near, any_s = _sphere_select(
+                scene_sg, o_sg, d_sg, skip_sg, eps_pos)
+            sph_w = _sphere_winner_eval(scene_sg, idx_s, use_near, any_s,
+                                        o_sg, d_sg)
+            rec = _merge2(rec, sph_w)
+
+        if scene_arg.planes.origin_dist.shape[0]:
+            pl_idx, pl_any = _plane_select(scene_sg, o_sg, d_sg, skip_sg,
+                                           eps_behind, eps_pos)
+            pl_w = _plane_winner_eval(scene_sg, pl_idx, pl_any, o_sg,
+                                      d_sg, eps_behind)
+            rec = _merge2(rec, pl_w)
+
+        prim = jnp.where(rec["any"], rec["prim"], -1)
+        return HitRecord(prim=prim.astype(jnp.int32), t=_fin(rec["t"]),
+                         position=rec["position"].astype(dtype),
+                         normal=rec["normal"].astype(dtype),
+                         inside=rec["inside"])
 
     def closest(scene: SceneArrays, ray_o, ray_d, skip) -> HitRecord:
+        on_tpu = jax.default_backend() == "tpu"
+        if pallas_bvh is not None and (on_tpu or traversal == "pallas"):
+            return _closest_kernel_detail(scene, ray_o, ray_d, skip,
+                                          on_tpu)
         return _closest_from_tri_select(scene, ray_o, ray_d, skip,
-                                        tri_select_bvh,
-                                        sphere_select_fn=sphere_select_fn)
+                                        tri_select_bvh)
 
     return closest

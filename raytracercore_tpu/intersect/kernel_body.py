@@ -90,11 +90,32 @@ def make_skip_match(shape, d3, skip, eps_pos):
     return match
 
 
-def triangle_pass(T, tf, ti, o3, d3, eps_behind, skip_match, emit):
+def triangle_pass(T, tf, ti, o3, d3, eps_behind, skip_match, emit,
+                  coplanar=True, any_smooth=True):
     """Möller–Trumbore over all triangle rows (Triangle.cs:148-224 semantics,
     including the mirrored-quad UV rule and the degenerate ray-in-plane
     branch).  Calls ``emit(row, ok, tt, prim, inside, pos3, nrm3, {})`` per
-    row; ``inside`` already has the Invert flip applied."""
+    row; ``inside`` already has the Invert flip applied.
+
+    Static specializations (round 5 — the kernel is issue-bound at the
+    measured VPU rate, docs/ROOFLINE.md, so fewer ops = proportionally
+    faster):
+
+    * ``coplanar=False`` drops the degenerate ray-in-plane branch
+      (det == 0 exactly AND origin on the plane).  This MATCHES the
+      reference's own production tier: its AVX path (RayTraceAVXFaster,
+      Triangle.cs:107-125, active whenever AVX2+FMA exist — i.e. on the
+      benchmark machine) has no coplanar branch either (it NaN-scrubs
+      1/det to 0 and falls through); only the scalar fallback
+      (Triangle.cs:161-171) implements it.  det == 0 is measure-zero
+      under jittered camera rays; the XLA integrator keeps the exact
+      scalar semantics and the bench kernel-equivalence check guards the
+      fraction empirically.
+    * ``any_smooth=False`` (no triangle interpolates vertex normals —
+      true for both shipped scenes) folds the smooth-normal
+      interpolation block to the face-normal flip, which is exact, not
+      an approximation.
+    """
     o_x, o_y, o_z = o3
     d_x, d_y, d_z = d3
     for t in range(T):
@@ -122,16 +143,24 @@ def triangle_pass(T, tf, ti, o3, d3, eps_behind, skip_match, emit):
         v_n = inv * (d_x * ocx + d_y * ocy + d_z * ocz)
         t_n = inv * (e2x * ocx + e2y * ocy + e2z * ocz)
 
-        on_plane = jnp.abs(fx * fnx + fy * fny + fz * fnz) <= eps_behind
-        degen = (det == 0) & on_plane
-        u = jnp.where(degen, e1x * fx + e1y * fy + e1z * fz, u_n)
-        v = jnp.where(degen, e2x * fx + e2y * fy + e2z * fz, v_n)
-        tt = jnp.where(degen, 0.0, t_n)
-        inside_geo = degen | (inv < 0)
+        if coplanar:
+            on_plane = jnp.abs(fx * fnx + fy * fny + fz * fnz) <= eps_behind
+            degen = (det == 0) & on_plane
+            u = jnp.where(degen, e1x * fx + e1y * fy + e1z * fz, u_n)
+            v = jnp.where(degen, e2x * fx + e2y * fy + e2z * fz, v_n)
+            # tt: t_n is already 0 where det == 0 (inv is zeroed), which
+            # equals the coplanar branch's dist = 0 — no select needed.
+            tt = t_n
+            inside_geo = degen | (inv < 0)
+            det_ok = (det != 0) | degen
+        else:
+            u, v, tt = u_n, v_n, t_n
+            inside_geo = inv < 0
+            det_ok = det != 0
 
         uv_lim = jnp.where(mirror, v, u + v)
         ok = ((u >= 0) & (u <= 1) & (v >= 0) & (uv_lim <= 1)
-              & (degen | (tt >= -eps_behind)) & ((det != 0) | degen)
+              & (tt >= -eps_behind) & det_ok
               & (prim >= 0))
         inside = jnp.logical_xor(inside_geo, inv_f)
         ok = ok & (two_s | ~inside)
@@ -143,29 +172,32 @@ def triangle_pass(T, tf, ti, o3, d3, eps_behind, skip_match, emit):
         ok = ok & ~skip_match(prim, hx, hy, hz, inside)
 
         # Normal (Triangle.GetNormal, Triangle.cs:209-224).
-        n0x, n0y, n0z = tf[t, 12], tf[t, 13], tf[t, 14]
-        n1x, n1y, n1z = tf[t, 15], tf[t, 16], tf[t, 17]
-        n2x, n2y, n2z = tf[t, 18], tf[t, 19], tf[t, 20]
-        w2 = u + v
-        ix = n0x * u + n1x * v + n2x * w2
-        iy = n0y * u + n1y * v + n2y * w2
-        iz = n0z * u + n1z * v + n2z * w2
-        rl = jax.lax.rsqrt(
-            jnp.maximum(ix * ix + iy * iy + iz * iz, 1e-30))
-        ix, iy, iz = ix * rl, iy * rl, iz * rl
-        dotf = ix * fnx + iy * fny + iz * fnz
-        # inside: reflect interpolated normal through face plane
-        rx = ix - fnx * (2.0 * dotf)
-        ry = iy - fny * (2.0 * dotf)
-        rz = iz - fnz * (2.0 * dotf)
-        smx = jnp.where(inside_geo, rx, ix)
-        smy = jnp.where(inside_geo, ry, iy)
-        smz = jnp.where(inside_geo, rz, iz)
         flip = jnp.where(inside_geo, -1.0, 1.0)
         flx, fly, flz = fnx * flip, fny * flip, fnz * flip
-        nx = jnp.where(smooth, smx, flx)
-        ny = jnp.where(smooth, smy, fly)
-        nz = jnp.where(smooth, smz, flz)
+        if any_smooth:
+            n0x, n0y, n0z = tf[t, 12], tf[t, 13], tf[t, 14]
+            n1x, n1y, n1z = tf[t, 15], tf[t, 16], tf[t, 17]
+            n2x, n2y, n2z = tf[t, 18], tf[t, 19], tf[t, 20]
+            w2 = u + v
+            ix = n0x * u + n1x * v + n2x * w2
+            iy = n0y * u + n1y * v + n2y * w2
+            iz = n0z * u + n1z * v + n2z * w2
+            rl = jax.lax.rsqrt(
+                jnp.maximum(ix * ix + iy * iy + iz * iz, 1e-30))
+            ix, iy, iz = ix * rl, iy * rl, iz * rl
+            dotf = ix * fnx + iy * fny + iz * fnz
+            # inside: reflect interpolated normal through face plane
+            rx = ix - fnx * (2.0 * dotf)
+            ry = iy - fny * (2.0 * dotf)
+            rz = iz - fnz * (2.0 * dotf)
+            smx = jnp.where(inside_geo, rx, ix)
+            smy = jnp.where(inside_geo, ry, iy)
+            smz = jnp.where(inside_geo, rz, iz)
+            nx = jnp.where(smooth, smx, flx)
+            ny = jnp.where(smooth, smy, fly)
+            nz = jnp.where(smooth, smz, flz)
+        else:
+            nx, ny, nz = flx, fly, flz
 
         emit(t, ok, tt, prim, inside.astype(jnp.int32),
              (hx, hy, hz), (nx, ny, nz), {})

@@ -39,23 +39,24 @@ LANES = 128
 BM = 8
 BLOCK = BM * LANES
 
-MAT_F = 18  # emission(3) diffuse(3) specular(3) refraction(3) ior shin lum(4)
+MAT_F = 14  # emission(3) diffuse(3) specular(3) refraction(3) ior shin
 SC_F = 4    # air_ior, ambient r g b
 
 
 def _pack_materials(mats):
-    lum = lambda c: (LUM_R * c[:, 0] + LUM_G * c[:, 1] + LUM_B * c[:, 2])
+    # Luminances are computed in-kernel from the gathered rgb (5 flops
+    # each) rather than carried as 4 extra gather channels (4 x N selects
+    # per bounce).
     return jnp.concatenate([
         mats.emission, mats.diffuse, mats.specular, mats.refraction,
         mats.refractive_index[:, None], mats.shininess[:, None],
-        lum(mats.emission)[:, None], lum(mats.diffuse)[:, None],
-        lum(mats.specular)[:, None], lum(mats.refraction)[:, None],
     ], axis=1).astype(jnp.float32)
 
 
 def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
                  recursion: int, eps_behind: float, eps_pos: float,
-                 ambient_is_miss: bool, want_tape: bool = False):
+                 ambient_is_miss: bool, want_tape: bool = False,
+                 any_smooth: bool = True, coplanar: bool = True):
     from .integrator import BounceType as BT
     from .integrator import PathTape
 
@@ -113,7 +114,8 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
             def emit(row, ok, tt, prim, inside_i32, pos3, nrm3, extra):
                 best.commit(ok, tt, prim, inside_i32, pos3, nrm3)
 
-            kb.triangle_pass(T, tf, ti, o, d, eps_behind, skip_match, emit)
+            kb.triangle_pass(T, tf, ti, o, d, eps_behind, skip_match, emit,
+                             coplanar=coplanar, any_smooth=any_smooth)
             kb.sphere_pass(S, sf, si, o, d, skip_match, emit)
             kb.plane_pass(P, pf, pi, o, d, eps_behind, skip_match, emit)
 
@@ -144,10 +146,6 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
             refr = (zero, zero, zero)
             ior = zero
             shin = zero
-            l_e = zero
-            l_d = zero
-            l_s = zero
-            l_r = zero
             last = i >= recursion  # static: the final bounce only needs
             for p_row in range(N):  # emission (everything else is dead code)
                 sel = safe_prim == p_row
@@ -160,10 +158,14 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
                 refr = (g(9, refr[0]), g(10, refr[1]), g(11, refr[2]))
                 ior = g(12, ior)
                 shin = g(13, shin)
-                l_e = g(14, l_e)
-                l_d = g(15, l_d)
-                l_s = g(16, l_s)
-                l_r = g(17, l_r)
+            # Luminances from the gathered rgb (4 x 5 flops) instead of 4
+            # more gather channels (4 x N selects) — the gather loop was
+            # ~9% of kernel ops at bounce.txt's N = 22.
+            lum = lambda c: LUM_R * c[0] + LUM_G * c[1] + LUM_B * c[2]
+            l_e = lum(emis)
+            l_d = lum(diff)
+            l_s = lum(spec)
+            l_r = lum(refr)
 
             # --- recursion complete (Raytracer.cs:100-104) ----------------
             te = (tint[0] * emis[0], tint[1] * emis[1], tint[2] * emis[2])
@@ -318,10 +320,11 @@ def _make_kernel(T: int, S: int, P: int, N: int, n_bounces: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "T", "S", "P", "N", "n_bounces", "recursion", "eps_behind", "eps_pos",
-    "ambient_is_miss", "interpret", "want_tape"))
+    "ambient_is_miss", "interpret", "want_tape", "any_smooth", "coplanar"))
 def _run(ox, oy, oz, dx, dy, dz, u, tf, ti, sf, si, pf, pi, mf, scf,
          T, S, P, N, n_bounces, recursion, eps_behind, eps_pos,
-         ambient_is_miss, interpret, want_tape=False):
+         ambient_is_miss, interpret, want_tape=False, any_smooth=True,
+         coplanar=True):
     m = ox.shape[0]
     grid = (m // BM,)
     ray_spec = pl.BlockSpec((BM, LANES), lambda i: (i, 0),
@@ -334,7 +337,8 @@ def _run(ox, oy, oz, dx, dy, dz, u, tf, ti, sf, si, pf, pi, mf, scf,
                             memory_space=pltpu.VMEM)
     kernel = _make_kernel(T, S, P, N, n_bounces, recursion,
                           eps_behind, eps_pos, ambient_is_miss,
-                          want_tape=want_tape)
+                          want_tape=want_tape, any_smooth=any_smooth,
+                          coplanar=coplanar)
     i32 = jax.ShapeDtypeStruct((m, LANES), jnp.int32)
     f32 = jax.ShapeDtypeStruct((m, LANES), jnp.float32)
     out_shape = (f32, f32, f32, i32)
@@ -414,6 +418,7 @@ def trace_fused(scene: SceneArrays, ray_o, ray_d, key, interpret=None,
     from ..intersect.dispatch import _position_eps
     eps_pos = float(_position_eps(jnp.float32))
 
+    from ..config import FUSED_COPLANAR_BRANCH
     out = _run(
         ox, oy, oz, dx, dy, dz, u,
         tf.astype(jnp.float32), ti, sf.astype(jnp.float32), si,
@@ -422,7 +427,8 @@ def trace_fused(scene: SceneArrays, ray_o, ray_d, key, interpret=None,
         n_bounces=n_bounces, recursion=scene.recursion,
         eps_behind=eps_behind, eps_pos=eps_pos,
         ambient_is_miss=scene.ambient_is_miss, interpret=bool(interpret),
-        want_tape=want_tape)
+        want_tape=want_tape, any_smooth=scene.any_smooth,
+        coplanar=FUSED_COPLANAR_BRANCH)
     rr, rg, rb, miss = out[:4]
 
     unpack = lambda a: a.reshape(-1)[:R]

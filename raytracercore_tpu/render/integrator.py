@@ -241,7 +241,7 @@ def _gather_material(mats, prim):
 def trace(scene: SceneArrays, ray_o, ray_d, key,
           closest_fn=closest_hit, record: bool = False,
           early_exit: bool = False, uniforms=None,
-          want_tape: bool = False):
+          want_tape: bool = False, want_wavefronts: bool = False):
     """Trace a batch of camera rays to final colors.
 
     Args:
@@ -262,6 +262,11 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
       want_tape: also return a :class:`PathTape` of per-bounce discrete
         decisions (recorded through the SAME loop body, so the tape can
         never drift from the render path).
+      want_wavefronts: also return the per-bounce closest-hit INPUTS — a
+        dict of [bounces, R(,3)] arrays (o, d, prev_* fields) captured at
+        the top of each bounce.  Probe-only (scripts/prof_scale.py): lets
+        stage timings run on the REAL secondary-ray distributions instead
+        of synthetic ones.  Not supported with early_exit.
 
     Returns:
       (color [R, 3], miss [R] bool) — ``miss`` marks Placeholder samples
@@ -291,9 +296,17 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         uniforms = prepare_uniforms(key, R, recursion + 1, dtype)
 
     def body(i, carry):
-        state, records, tape = carry
+        state, records, tape, wf = carry
         # Periodic renormalization (Raytracer.cs:74-75).
         d = jnp.where(i % 3 == 0, vm.normalize(state.ray_d), state.ray_d)
+
+        if wf is not None:
+            prev = state.prev
+            wf = {k: wf[k].at[i].set(v) for k, v in {
+                "o": state.ray_o, "d": d, "prev_prim": prev.prim,
+                "prev_t": prev.t, "prev_pos": prev.position,
+                "prev_normal": prev.normal, "prev_inside": prev.inside,
+                "alive": state.alive}.items()}
 
         # named_scope: xprof-visible phase annotations (SURVEY §5.1 — the
         # reference's only profiling is a stopwatch per tile).
@@ -486,7 +499,7 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
                 fresnel=records.fresnel.at[:, i].set(fr),
             )
 
-        return new_state, records, tape
+        return new_state, records, tape, wf
 
     if scene.debug_geom:
         # Flat geometry view (Raytracer.cs:93-98): first hit's
@@ -518,20 +531,31 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
     records = BounceRecords.create(R, recursion + 1, dtype) if record \
         else None
     tape = PathTape.create(R, recursion + 1, dtype) if want_tape else None
+    wf = None
+    if want_wavefronts:
+        B = recursion + 1
+        wf = {"o": jnp.zeros((B, R, 3), dtype),
+              "d": jnp.zeros((B, R, 3), dtype),
+              "prev_prim": jnp.zeros((B, R), jnp.int32),
+              "prev_t": jnp.zeros((B, R), dtype),
+              "prev_pos": jnp.zeros((B, R, 3), dtype),
+              "prev_normal": jnp.zeros((B, R, 3), dtype),
+              "prev_inside": jnp.zeros((B, R), bool),
+              "alive": jnp.zeros((B, R), bool)}
     if early_exit:
         # Most paths terminate well before the recursion cap (emission pick,
         # pure-black, specular fail); stop as soon as the whole wavefront is
         # dead instead of tracing empty bounces.
         def w_cond(carry):
-            i, (st, _, _) = carry
+            i, (st, _, _, _) = carry
             return (i < recursion + 1) & jnp.any(st.alive)
 
         def w_body(carry):
             i, sr = carry
             return i + 1, body(i, sr)
 
-        _, (state, records, tape) = jax.lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), (state, records, tape)))
+        _, (state, records, tape, wf) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), (state, records, tape, wf)))
     else:
         # Rematerialize each bounce in the backward pass: without this,
         # reverse AD saves every per-bounce intersection grid
@@ -539,11 +563,13 @@ def trace(scene: SceneArrays, ray_o, ray_d, key,
         # killer).  Recomputing a bounce is cheap relative to HBM traffic
         # (SURVEY §7 design stance: jax.checkpoint trades FLOPs for memory).
         body_ck = jax.checkpoint(body, prevent_cse=False)
-        state, records, tape = jax.lax.fori_loop(
-            0, recursion + 1, body_ck, (state, records, tape))
+        state, records, tape, wf = jax.lax.fori_loop(
+            0, recursion + 1, body_ck, (state, records, tape, wf))
     out = (state.result, state.miss)
     if record:
         out = out + (records,)
     if want_tape:
         out = out + (tape,)
+    if want_wavefronts:
+        out = out + (wf,)
     return out

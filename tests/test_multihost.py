@@ -26,6 +26,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_render_matches_single(tmp_path):
     out = tmp_path / "film.npz"
     port = _free_port()

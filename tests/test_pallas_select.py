@@ -1,6 +1,7 @@
 """Pallas selection kernel vs the jnp selection oracle (interpret mode on
 CPU; the compiled path runs on TPU via bench/renders)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +24,7 @@ def _rays(n, seed):
     return o, jnp.asarray(d, jnp.float32)
 
 
+@pytest.mark.slow
 def test_pallas_matches_jnp_selection(bounce_txt):
     scene = loader.parse(bounce_txt)
     arrays = freeze_scene(scene)

@@ -3,6 +3,7 @@ dense scan (interpret mode — the compiled kernel is exercised on hardware by
 scripts/bench_scale.py and the bench kernel-equivalence check).
 """
 
+import pytest
 import jax
 import numpy as np
 
@@ -64,6 +65,7 @@ def test_pallas_traverse_skip_hit():
     np.testing.assert_array_equal(got, np.asarray(ref_idx))
 
 
+@pytest.mark.slow
 def test_sphere_bvh_mixed_scene_matches_dense():
     """Mixed analytic-sphere + triangle scene through the accelerated path
     (triangle BVH + sphere BVH, dispatch merge) vs the dense scan —
@@ -95,8 +97,13 @@ def test_sphere_bvh_mixed_scene_matches_dense():
     assert (np.asarray(hb.prim) == np.asarray(hd.prim)).mean() >= 0.999
     assert (np.asarray(hd.prim) < 18 * 18).any()  # spheres actually hit
     f = np.asarray(hd.prim) >= 0
+    # t tolerance: since round 5 the kernel commits the winner's detail
+    # in-record (no dense re-evaluation), so its root comes from the same
+    # quadratic but a different FP op order; the b^2-4c cancellation
+    # amplifies that to ~1e-3 absolute on the ~2-3% of grazing rays
+    # (attributed round 5 — prim/inside agreement stays EXACT below).
     np.testing.assert_allclose(np.asarray(hb.t)[f], np.asarray(hd.t)[f],
-                               rtol=1e-5, atol=1e-5)
+                               rtol=5e-5, atol=2e-3)
     np.testing.assert_array_equal(np.asarray(hb.inside),
                                   np.asarray(hd.inside))
 
@@ -110,6 +117,7 @@ def test_sphere_bvh_mixed_scene_matches_dense():
     assert (np.asarray(hb2.prim) == np.asarray(hd2.prim)).mean() >= 0.999
 
 
+@pytest.mark.slow
 def test_ellipsoid_bvh_mixed_scene_matches_dense():
     """TRANSFORMED spheres (ellipsoids) through the accelerated path
     (ellipsoid-BVH with affine world AABBs + in-leaf object-space
@@ -140,8 +148,10 @@ def test_ellipsoid_bvh_mixed_scene_matches_dense():
     assert (np.asarray(hb.prim) == np.asarray(hd.prim)).mean() >= 0.999
     assert (np.asarray(hd.prim) < 18 * 18).any()  # ellipsoids actually hit
     f = np.asarray(hd.prim) >= 0
+    # Tolerance note: see the sphere test above — in-kernel detail means
+    # a different FP op order through the cancellation-prone quadratic.
     np.testing.assert_allclose(np.asarray(hb.t)[f], np.asarray(hd.t)[f],
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=2e-3)
 
     found = hd.prim >= 0
     o2 = jnp.where(found[:, None], hd.position, o)

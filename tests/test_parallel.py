@@ -118,6 +118,7 @@ def test_prims_sharded_matches_single_device(small_setup):
                                   np.asarray(ref.misses))
 
 
+@pytest.mark.slow
 def test_overlapped_train_step_matches_single(small_setup):
     """Per-bounce bucketed grad psum inside the backward unroll
     (make_overlapped_train_step) must equal the single-device step (psum
@@ -172,6 +173,7 @@ def test_overlapped_train_step_matches_single(small_setup):
     assert in_entry, "loss psum missing"
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

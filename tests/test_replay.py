@@ -44,6 +44,7 @@ def test_replay_forward_matches_trace(bounce_arrays):
                                rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_replay_grads_match_trace(bounce_arrays):
     """grad(trace_replay) == grad(trace): both differentiate the same
     fixed-decision estimator, so material gradients must agree."""
@@ -135,6 +136,7 @@ def test_replay_with_bvh_closest_fn():
                                rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_train_step_replay_matches_full_ad(bounce_arrays):
     """make_train_step(use_replay=True) computes the same loss and update
     as the full-AD step."""
@@ -164,6 +166,7 @@ def test_train_step_replay_matches_full_ad(bounce_arrays):
                                    rtol=1e-5, atol=1e-7, err_msg=k)
 
 
+@pytest.mark.slow
 def test_replay_kernel_matches_replay(bounce_arrays):
     """Pallas replay kernel (render/replay_kernel.py) vs the XLA replay:
     same tape, same uniforms ⇒ matching forward values, misses, and
