@@ -171,9 +171,11 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
     out[:, :K, 9:12] = fn[rows]
     out[:, :K, 12] = np.where(valid, leaf_prims, -1).astype(np.float32)
     pid = np.maximum(prim_id[rows], 0)
+    smooth = np.asarray(tri.smooth)
     out[:, :K, 13] = (mirror[rows].astype(np.int32)
                       + 2 * (invert[pid] & valid).astype(np.int32)
                       + 4 * (two_sided[pid] | ~valid).astype(np.int32)
+                      + 8 * (smooth[rows] & valid).astype(np.int32)
                       ).astype(np.float32)
     out[:, :K, 14] = np.where(valid, prim_id[rows], -1).astype(np.float32)
     out = out.reshape(L, K_pad * TRI_F)
@@ -376,8 +378,10 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         match = (k_row == row) & (k_row >= 0) & pos_close & parity
         ok = ok & ~match
         flip = jnp.where(inside_geo, -1.0, 1.0)
+        smooth = (flag_i & 8) != 0
         ifl = (jnp.where(inside, 1.0, 0.0)
-               + jnp.where(inside_geo, 2.0, 0.0))
+               + jnp.where(inside_geo, 2.0, 0.0)
+               + jnp.where(smooth, 4.0, 0.0))
         detail = (prim, hx, hy, hz, fnx * flip, fny * flip, fnz * flip,
                   ifl, u, v)
         return ok, tt, row, detail
@@ -823,7 +827,7 @@ def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
     # 128 MB per core) — size the limit to the tables + working set.
     table_bytes = nodes.size * 4 + (leaf_tris.size * 4 if leaf_resident
                                     else 0)
-    vmem_limit = min(int(table_bytes + 8 * 2 ** 20), 120 * 2 ** 20)
+    vmem_limit = min(int(table_bytes + 16 * 2 ** 20), 126 * 2 ** 20)
     vmem_limit = max(vmem_limit, 32 * 2 ** 20)
     out = pl.pallas_call(
         kernel,
@@ -885,21 +889,31 @@ class PallasBVH:
                 f"BVH node table {node_bytes/2**20:.0f} MB exceeds the VMEM "
                 f"budget; raise leaf_size (nodes halve per doubling)")
 
+    # Sort-key shape: bits per axis of origin Morton, and per-axis
+    # direction bits beyond the sign.  Round-5 1M measurement
+    # (docs/SCALE.md): the round-4 key (octant + 6-bit Morton) left each
+    # 128-ray sub-beam visiting ~100 leaves at 1M tris — the union, not
+    # the per-flush cost, bounded the walk.
+    SORT_MORTON_BITS = 8
+    SORT_DIR_BITS = 0   # extra direction magnitude bits per axis
+
     def _sort_key(self, ray_o, ray_d):
-        """Coherence key: direction octant (high bits) + 6-bit-per-axis
-        Morton code of the origin within the root AABB.
+        """Coherence key: direction bin (high bits) + per-axis Morton code
+        of the origin within the root AABB.
 
         Secondary bounce rays arrive in pixel order but scattered in space;
         sub-beams of 128 pixel-ordered rays then span much of the scene and
         the beam union degrades toward the full preorder walk.  Sorting by
-        (octant, origin locality) re-forms tight beams. Parked dead lanes
-        (origin 4e8) all share one key bucket and compact together.
+        (direction bin, origin locality) re-forms tight beams. Parked dead
+        lanes (origin 4e8) all share one key bucket and compact together.
         """
+        mb = self.SORT_MORTON_BITS
+        db = self.SORT_DIR_BITS
         root_min = self.root_min
         root_max = self.root_max
         ext = jnp.maximum(root_max - root_min, 1e-30)
         q = jnp.clip((ray_o - root_min) / ext, 0.0, 1.0)
-        q = (q * 63.0).astype(jnp.int32)  # 6 bits per axis
+        q = (q * ((1 << mb) - 1)).astype(jnp.int32)
 
         def spread(x):  # interleave: bit i -> bit 3i (standard 3D Morton)
             x = (x | (x << 16)) & 0x030000FF
@@ -910,10 +924,12 @@ class PallasBVH:
 
         morton = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
                   | (spread(q[:, 2]) << 2))
-        octant = ((ray_d[:, 0] >= 0).astype(jnp.int32)
-                  + 2 * (ray_d[:, 1] >= 0).astype(jnp.int32)
-                  + 4 * (ray_d[:, 2] >= 0).astype(jnp.int32))
-        return (octant << 18) | morton
+        dq = jnp.clip((ray_d * 0.5 + 0.5), 0.0, 1.0)
+        dbin = jnp.clip((dq * (1 << (db + 1))).astype(jnp.int32),
+                        0, (1 << (db + 1)) - 1)
+        dirbin = (dbin[:, 0] + ((1 << (db + 1)) * dbin[:, 1])
+                  + ((1 << (2 * (db + 1))) * dbin[:, 2]))
+        return (dirbin << (3 * mb)) | morton
 
     def select(self, ray_o, ray_d, skip, eps_behind, eps_pos,
                interpret=False, sort: bool = False, want_stats=False,
@@ -1010,6 +1026,7 @@ class PallasBVH:
                 "nrm": jnp.stack([dnx, dny, dnz], axis=1),
                 "inside": (ifl & 1) != 0,
                 "inside_geo": (ifl & 2) != 0,
+                "smooth": (ifl & 4) != 0,
                 "u": du, "v": dv,
             },)
         if want_stats:

@@ -528,22 +528,24 @@ def make_bvh_closest_fn(bvh, scene: SceneArrays | None = None,
     def _tri_smooth_fixup(scene_sg, row, det):
         """Re-interpolate the winner's SMOOTH normal XLA-side
         (Triangle.GetNormal, Triangle.cs:209-224) from the kernel's
-        committed (u, v): only the per-vertex normal planes are gathered
-        — the kernel already supplied everything else."""
+        committed (u, v): only the three per-vertex normal planes are
+        gathered — smooth flag rides the kernel's flag bits and the face
+        normal is the committed flat normal un-flipped (nrm = fn*flip),
+        so fn/smooth gathers are unnecessary."""
         tri = scene_sg.triangles
         safe = jnp.maximum(row, 0)
         g3 = lambda a: jnp.take(a, safe, axis=0)
-        smooth = jnp.take(tri.smooth, safe)
         u, v = det["u"], det["v"]
         w2 = u + v
         n_int = (g3(tri.n0) * u[:, None] + g3(tri.n1) * v[:, None]
                  + g3(tri.n2) * w2[:, None])
         n_int = vm.normalize(n_int, eps=1e-30)
-        fn = g3(tri.normal)
+        geo = det["inside_geo"][:, None]
+        fn = det["nrm"] * jnp.where(geo, -1.0, 1.0)
         dotf = jnp.sum(n_int * fn, axis=-1, keepdims=True)
         refl = n_int - fn * (2.0 * dotf)
-        n_sm = jnp.where(det["inside_geo"][:, None], refl, n_int)
-        nrm = jnp.where(smooth[:, None], n_sm, det["nrm"])
+        n_sm = jnp.where(geo, refl, n_int)
+        nrm = jnp.where(det["smooth"][:, None], n_sm, det["nrm"])
         return dict(det, nrm=nrm)
 
     def _closest_kernel_detail(scene_arg, ray_o, ray_d, skip, on_tpu):

@@ -78,9 +78,10 @@ def main():
           f"bounce {agree2:.4f}", file=sys.stderr, flush=True)
     assert agree1 >= 0.999 and agree2 >= 0.999
 
-    # --- attribution of bounce disagreements (VERDICT r3 #6) --------------
+    # --- attribution of disagreements (VERDICT r3 #6 / r4 #5) -------------
     # Mirror bench.py's flip/graze/samepick discipline: classify every
-    # disagreeing skip-carrying ray instead of calling 0.999x "noise".
+    # disagreeing ray (PRIMARY rays too, not only bounce — round 5)
+    # instead of calling 0.999x "noise".
     #   order-tie  — both paths found hits at the same t (within f32 slop)
     #                on different rows: equal-t candidate ordering, benign;
     #   skip-edge  — the disagreeing hit sits on the skip-epsilon knife
@@ -88,46 +89,52 @@ def main():
     #                accelerated and dense paths compute the hit position
     #                through different arithmetic and round the
     #                Util.RayHitMatches test differently, benign;
+    #   found-flip — one side missed entirely: a grazing/discriminant
+    #                knife edge under different FP op order;
     #   real       — anything else: would be a genuine traversal bug.
     from raytracercore_tpu.intersect.dispatch import _position_eps
-    dis = np.asarray(hb2.prim != hd2.prim)
-    t_b, t_d = np.asarray(hb2.t), np.asarray(hd2.t)
-    f_b, f_d = np.asarray(hb2.prim >= 0), np.asarray(hd2.prim >= 0)
-    both = dis & f_b & f_d
-    tie = both & (np.abs(t_b - t_d) <= 1e-3 * (1.0 + np.abs(t_d)))
-    # Skip-edge: distance(hit, skip position) vs eps_pos^2 * scale.
     eps_p = float(_position_eps(jnp.float32))
-    kp = np.asarray(hd.position)
-    scale = 1.0 + (kp ** 2).sum(-1)
-    lim = (eps_p ** 2) * scale
 
-    def edge(h):
-        d2_ = ((np.asarray(h.position) - kp) ** 2).sum(-1)
-        r = d2_ / np.maximum(lim, 1e-30)
-        return (r > 0.25) & (r < 4.0)
+    def classify(hbx, hdx, skip_hit, tag):
+        dis = np.asarray(hbx.prim != hdx.prim)
+        t_b, t_d = np.asarray(hbx.t), np.asarray(hdx.t)
+        f_b, f_d = np.asarray(hbx.prim >= 0), np.asarray(hdx.prim >= 0)
+        both = dis & f_b & f_d
+        tie = both & (np.abs(t_b - t_d) <= 1e-3 * (1.0 + np.abs(t_d)))
+        if skip_hit is not None:
+            kp = np.asarray(skip_hit.position)
+            scale = 1.0 + (kp ** 2).sum(-1)
+            lim = (eps_p ** 2) * scale
 
-    skip_edge = dis & ~tie & (edge(hb2) | edge(hd2))
-    flip = dis & ~tie & ~skip_edge & (f_b != f_d)   # one side missed
-    real = dis & ~tie & ~skip_edge & ~flip
-    n = dis.size
-    frac = lambda m: round(float(m.sum()) / n, 6)
-    print(f"bounce disagreement attribution: order-tie {frac(tie)}, "
-          f"skip-edge {frac(skip_edge)}, found-flip {frac(flip)}, "
-          f"real {frac(real)} ({int(real.sum())} rays)",
-          file=sys.stderr, flush=True)
-    for m, name in ((flip, "flip"), (real, "real")):
-        idx = np.nonzero(m)[0][:6]
-        for i in idx:
-            d2b = ((np.asarray(hb2.position)[i] - kp[i]) ** 2).sum()
-            d2d = ((np.asarray(hd2.position)[i] - kp[i]) ** 2).sum()
-            print(f"  {name} ray {i}: bvh(prim={int(np.asarray(hb2.prim)[i])}"
-                  f" t={t_b[i]:.6g} skipratio={d2b/lim[i]:.3g}) "
-                  f"dense(prim={int(np.asarray(hd2.prim)[i])}"
-                  f" t={t_d[i]:.6g} skipratio={d2d/lim[i]:.3g}) "
-                  f"prev_prim={int(np.asarray(hd.prim)[i])}",
-                  file=sys.stderr, flush=True)
-    attribution = {"order_tie": frac(tie), "skip_edge": frac(skip_edge),
-                   "found_flip": frac(flip), "real": frac(real)}
+            def edge(h):
+                d2_ = ((np.asarray(h.position) - kp) ** 2).sum(-1)
+                r = d2_ / np.maximum(lim, 1e-30)
+                return (r > 0.25) & (r < 4.0)
+
+            skip_edge = dis & ~tie & (edge(hbx) | edge(hdx))
+        else:
+            skip_edge = np.zeros_like(dis)
+        flip = dis & ~tie & ~skip_edge & (f_b != f_d)
+        real = dis & ~tie & ~skip_edge & ~flip
+        n = dis.size
+        frac = lambda m: round(float(m.sum()) / n, 6)
+        print(f"{tag} disagreement attribution: order-tie {frac(tie)}, "
+              f"skip-edge {frac(skip_edge)}, found-flip {frac(flip)}, "
+              f"real {frac(real)} ({int(real.sum())} rays)",
+              file=sys.stderr, flush=True)
+        for m, name in ((flip, "flip"), (real, "real")):
+            for i in np.nonzero(m)[0][:6]:
+                print(f"  {tag} {name} ray {i}: "
+                      f"bvh(prim={int(np.asarray(hbx.prim)[i])}"
+                      f" t={t_b[i]:.6g}) "
+                      f"dense(prim={int(np.asarray(hdx.prim)[i])}"
+                      f" t={t_d[i]:.6g})",
+                      file=sys.stderr, flush=True)
+        return {"order_tie": frac(tie), "skip_edge": frac(skip_edge),
+                "found_flip": frac(flip), "real": frac(real)}
+
+    attribution_primary = classify(hb, hd, None, "primary")
+    attribution = classify(hb2, hd2, hd, "bounce")
 
     # --- stage 2: throughput at scale -------------------------------------
     t0 = time.perf_counter()
@@ -161,6 +168,7 @@ def main():
         "n_spheres": n_sph,
         "agreement_primary": agree1,
         "agreement_bounce": agree2,
+        "primary_disagreement_attribution": attribution_primary,
         "bounce_disagreement_attribution": attribution,
         "ms_per_pass": round(dt * 1e3, 2),
         "wavefront_rays_per_sec": round(rays / dt, 1),
