@@ -320,7 +320,17 @@ def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
         # Flat geometry view has no bounce loop to replay.
         return trace(scene, ray_o, ray_d, key, closest_fn=closest_fn)
     R = ray_o.shape[0]
-    uniforms = prepare_uniforms(key, R, scene.recursion + 1, ray_o.dtype)
+    if jax.default_backend() == "tpu" and ray_o.dtype == jnp.float32:
+        # On-core uniforms (round 5): XLA threefry + channel transforms
+        # measured ~6.3 ms device of the train step; the Pallas PRNG
+        # kernel generates the same channel distributions in ~1 ms.
+        # Different (equally deterministic) bit stream — train path only,
+        # so fixed-RNG fixtures and trace parity are untouched.
+        from .uniforms_kernel import prepare_uniforms_kernel
+        uniforms = prepare_uniforms_kernel(key, R, scene.recursion + 1)
+    else:
+        uniforms = prepare_uniforms(key, R, scene.recursion + 1,
+                                    ray_o.dtype)
     if record_fused is None:
         from . import fused
         record_fused = (closest_fn is closest_hit
@@ -330,8 +340,21 @@ def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
                         # samples paths at f32 precision (see
                         # record_tape_fused).
                         and ray_o.dtype == jnp.float32)
+    rec_out = None
     if record_fused:
-        tape = record_tape_fused(scene, ray_o, ray_d, uniforms)
+        # Keep the recorder's own (color, miss): on the kernel-replay path
+        # they become the train step's PRIMAL (record-as-primal, round 5 —
+        # the replay forward recomputes them to f32 round-off, so skipping
+        # it saves its full kernel time; docs/TRAIN_STEP.md).
+        from . import fused
+
+        sg = jax.lax.stop_gradient
+        scene_sg = jax.tree.map(sg, scene)
+        color_r, miss_r, tape = fused.trace_fused(
+            scene_sg, sg(ray_o), sg(ray_d), None, uniforms=sg(uniforms),
+            want_tape=True)
+        tape = jax.tree.map(sg, tape)
+        rec_out = (sg(color_r), sg(miss_r))
     else:
         record_fn = _default_record_fn(scene, closest_fn)
         tape = record_tape(scene, ray_o, ray_d, uniforms,
@@ -369,6 +392,7 @@ def trace_replay(scene: SceneArrays, ray_o, ray_d, key,
                 n_mats, MAX_KERNEL_MATS)
     if replay_kernel:
         from .replay_kernel import replay_fused
-        return replay_fused(scene, ray_o, ray_d, uniforms, tape)
+        return replay_fused(scene, ray_o, ray_d, uniforms, tape,
+                            primal=rec_out)
     return replay(scene, ray_o, ray_d, uniforms, tape,
                   grad_axis=grad_axis)

@@ -315,9 +315,10 @@ def _shade_fwd(d3, u, fl, nx, ny, nz, pr, matf, scf, n_bounces,
     return out, (d3, u, fl, nx, ny, nz, pr, matf, scf)
 
 
-def _shade_bwd(n_bounces, ambient_is_miss, interpret, res, ct):
+def _bwd_core(n_bounces, ambient_is_miss, interpret, res, ct3):
+    """Shared backward: bwd kernel + one-hot scatter-add to the material
+    table.  Returns cotangents for (d3, u, fl, nx, ny, nz, pr, matf, scf)."""
     d3, u, fl, nx, ny, nz, pr, matf, scf = res
-    ct3 = ct[:3]
     g_ct = _run_bwd(d3, u, fl, nx, ny, nz, pr, matf, scf, ct3,
                     n_bounces=n_bounces, ambient_is_miss=ambient_is_miss,
                     interpret=interpret)
@@ -341,11 +342,45 @@ def _shade_bwd(n_bounces, ambient_is_miss, interpret, res, ct):
                          jnp.zeros_like(scf))
 
 
+def _shade_bwd(n_bounces, ambient_is_miss, interpret, res, ct):
+    return _bwd_core(n_bounces, ambient_is_miss, interpret, res, ct[:3])
+
+
 _shade.defvjp(_shade_fwd, _shade_bwd)
 
 
+# --- Record-as-primal (round 5) --------------------------------------------
+# The megakernel RECORDING pass already produced this batch's (color, miss)
+# — the replay forward recomputes them from the tape to f32 round-off (the
+# equivalence the tests pin), so on the train path the fwd kernel is pure
+# overhead (~6.4 ms of the 33.5 ms step, docs/TRAIN_STEP.md).  This
+# custom_vjp passes the recorder's color through as the primal and runs
+# ONLY the backward kernel; gradients are identical to _shade's (the bwd
+# kernel re-runs its own forward sweep from the tape either way).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _shade_recorded(rgb3, d3, u, fl, nx, ny, nz, pr, matf, scf,
+                    n_bounces, ambient_is_miss, interpret):
+    return rgb3
+
+
+def _shade_recorded_fwd(rgb3, d3, u, fl, nx, ny, nz, pr, matf, scf,
+                        n_bounces, ambient_is_miss, interpret):
+    return rgb3, (d3, u, fl, nx, ny, nz, pr, matf, scf)
+
+
+def _shade_recorded_bwd(n_bounces, ambient_is_miss, interpret, res, ct):
+    # The primal input passes through unchanged, so its true cotangent is
+    # ``ct`` itself (identity) — the recorder's color is stop_grad'd
+    # upstream, so this terminates there.
+    return (ct,) + _bwd_core(n_bounces, ambient_is_miss, interpret, res, ct)
+
+
+_shade_recorded.defvjp(_shade_recorded_fwd, _shade_recorded_bwd)
+
+
 def replay_fused(scene, ray_o, ray_d, uniforms, tape: PathTape,
-                 interpret=None, grad_axis=None):
+                 interpret=None, grad_axis=None, primal=None):
     """Kernel-backed drop-in for :func:`.replay.replay` (f32 path).
 
     The material gather is one XLA one-hot matmul over all bounces (its
@@ -354,6 +389,13 @@ def replay_fused(scene, ray_o, ray_d, uniforms, tape: PathTape,
     ``grad_axis``: as in replay.replay — the material cotangent is psum'd
     across the named mesh axis (one bucket; the per-bounce overlapped
     schedule stays on the XLA replay path).
+
+    ``primal``: optional ``(color [R, 3], miss [R] bool)`` from the
+    recording pass itself.  When given, the forward kernel is SKIPPED —
+    the recorder's color rides through a pass-through custom_vjp and only
+    the backward kernel runs (the round-5 train-step lever: the replay
+    forward recomputes, to f32 round-off, values the megakernel recorder
+    already produced).  Gradients are identical either way.
     """
     from .replay import _allreduce_in_bwd
 
@@ -400,6 +442,17 @@ def replay_fused(scene, ray_o, ray_d, uniforms, tape: PathTape,
         scene.air_refractive_index.reshape(1).astype(jnp.float32),
         scene.ambient_rgb.reshape(3).astype(jnp.float32)]).reshape(1, 4)
 
+    if primal is not None:
+        p_color, p_miss = primal
+        rgb3 = tuple(pz(jax.lax.stop_gradient(p_color[:, k]))
+                     for k in range(3))
+        rr, rg, rb = _shade_recorded(rgb3, d3, u, fl, nx, ny, nz, pr,
+                                     matf, scf, B,
+                                     bool(scene.ambient_is_miss),
+                                     bool(interpret))
+        color = jnp.stack([rr[:R], rg[:R], rb[:R]],
+                          axis=1).astype(ray_o.dtype)
+        return color, jax.lax.stop_gradient(p_miss)
     rr, rg, rb, miss = _shade(d3, u, fl, nx, ny, nz, pr, matf, scf, B,
                               bool(scene.ambient_is_miss), bool(interpret))
     color = jnp.stack([rr[:R], rg[:R], rb[:R]], axis=1).astype(ray_o.dtype)

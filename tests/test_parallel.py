@@ -222,3 +222,33 @@ def test_bvh_train_step_sharded_matches_single():
     for k in p1:
         np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(p1[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_train_loop_matches_sequential_steps(small_setup):
+    """make_train_loop (one scanned program, round 5) must sample and step
+    exactly like n sequential make_train_step calls with the same
+    per-step key schedule (fold_in(key, i))."""
+    from raytracercore_tpu.parallel.shard import make_train_loop
+
+    scene, arrays, camera = small_setup
+    optimizer = optax.sgd(1e-2)
+    params = get_material_params(arrays)
+    target = jnp.zeros((16, 16, 3))
+    key = jax.random.PRNGKey(11)
+
+    step = make_train_step(None, optimizer)
+    p, o = params, optimizer.init(params)
+    losses = []
+    for i in range(3):
+        p, o, loss = step(p, arrays, camera, target, o,
+                          jax.random.fold_in(key, i))
+        losses.append(float(loss))
+
+    loop = make_train_loop(None, optimizer, n_steps=3)
+    pl_, _, ll = loop(params, arrays, camera, target,
+                      optimizer.init(params), key)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(losses),
+                               rtol=1e-6)
+    for k in p:
+        np.testing.assert_allclose(np.asarray(pl_[k]), np.asarray(p[k]),
+                                   atol=1e-7, err_msg=k)

@@ -245,3 +245,53 @@ def test_train_step_through_bvh_matches_dense():
     for k in p_d:
         np.testing.assert_allclose(np.asarray(p_b[k]), np.asarray(p_d[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_uniforms_kernel_acos_poly():
+    """The on-core uniforms kernel (TPU train path) replaces arccos with
+    the Hastings polynomial; its error must sit below f32 resolution so
+    the diffuse-cone channel distribution is unchanged."""
+    from raytracercore_tpu.render.uniforms_kernel import _acos01
+
+    x = jnp.linspace(0.0, 1.0, 20001)
+    got = np.asarray(jax.jit(_acos01)(x))
+    want = np.arccos(np.asarray(x, np.float64))
+    assert np.abs(got - want).max() < 5e-7
+
+
+def test_replay_fused_primal_identity_gradients():
+    """record-as-primal (round 5): replay_fused(primal=...) must return
+    the given color bitwise and the SAME material gradients as the
+    kernel-forward path (the bwd kernel re-runs its own sweep either
+    way).  Small recursion keeps the interpret-mode kernels in the
+    default suite."""
+    from raytracercore_tpu.render.integrator import prepare_uniforms
+    from raytracercore_tpu.render.replay import record_tape
+    from raytracercore_tpu.render.replay_kernel import replay_fused
+
+    scene = loader.from_file("/root/reference/Scenes/bounce.txt")
+    scene.width = scene.height = 16
+    scene.recursion = 2
+    arrays = freeze_scene(scene)
+    o, d = bounce_rays(n=256, seed=5)
+    uniforms = prepare_uniforms(jax.random.PRNGKey(13), o.shape[0],
+                                arrays.recursion + 1)
+    tape = jax.jit(lambda: record_tape(arrays, o, d, uniforms))()
+    params = get_material_params(arrays)
+
+    def loss(p, primal):
+        s = with_material_params(arrays, p)
+        color, miss = replay_fused(s, o, d, uniforms, tape,
+                                   interpret=True, primal=primal)
+        return jnp.mean(jnp.where(miss[:, None], 0.0, color) ** 2), color
+
+    (l0, c0), g0 = jax.value_and_grad(loss, has_aux=True)(params, None)
+    miss0 = replay_fused(arrays, o, d, uniforms, tape,
+                         interpret=True)[1]
+    (l1, c1), g1 = jax.value_and_grad(loss, has_aux=True)(
+        params, (c0, miss0))
+    assert float(l0) == float(l1)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    for k in g0:
+        np.testing.assert_array_equal(np.asarray(g0[k]), np.asarray(g1[k]),
+                                      err_msg=k)
