@@ -233,7 +233,7 @@ def main():
         # artifact of the tunnel, not the framework.  Production training
         # loops scan steps on device; both numbers are reported.
         from raytracercore_tpu.parallel.shard import make_train_loop
-        LOOP_K = 5
+        LOOP_K = 10
         loop = make_train_loop(None, optimizer, n_steps=LOOP_K)
         lstate = {"p": params, "o": optimizer.init(params)}
 

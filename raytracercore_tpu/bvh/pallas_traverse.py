@@ -57,7 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .builder import BVHArrays
 
+import os
+
 BLOCK = 1024           # rays per grid program, shaped (8, 128)
+# Chunked flush early-exit (round 5): skip trailing 16-record chunks
+# beyond the pending leaves' max valid count.  Same-day A/B at 46k/512²:
+# 255 -> 239 ms/pass; RTC_CHUNK_FLUSH=0 restores the flat loop.
+CHUNK_FLUSH = os.environ.get("RTC_CHUNK_FLUSH", "1") != "0"
 LANES = (8, 128)
 CHAINS = 8             # independent 128-ray sub-beams per block
 TRI_F = 16             # packed floats per leaf triangle (see pack_leaf_tris)
@@ -139,11 +145,14 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
 
     Per-triangle layout (TRI_F floats):
       v0(3), e1(3), e2(3), fn(3) face normal, row,
-      flags (mirror | invert<<1 | two_sided<<2), prim_id, pad
+      flags (mirror | invert<<1 | two_sided<<2), prim_id, count
     Empty slots have row = prim = -1.  prim_id rides in the record so the
     kernel can emit the full winner hit detail (round 5) without any
     XLA-side [R]-row gathers — the measured dominant cost of the
-    per-bounce "eval" stage (scripts/prof_scale.py).
+    per-bounce "eval" stage (scripts/prof_scale.py).  Slot 15 of EVERY
+    record carries the leaf's valid-record count (binned-SAH leaves
+    average ~67% of the leaf-size cap at 1M tris), letting the flush skip
+    whole trailing chunks when every pending leaf is short.
     """
     leaf_prims = np.asarray(bvh.leaf_prims)
     L, K = leaf_prims.shape
@@ -178,6 +187,12 @@ def pack_leaf_tris(bvh: BVHArrays, tri, mats) -> np.ndarray:
                       + 8 * (smooth[rows] & valid).astype(np.int32)
                       ).astype(np.float32)
     out[:, :K, 14] = np.where(valid, prim_id[rows], -1).astype(np.float32)
+    # Valid-count per leaf in slot 15 (chunked flush early-exit).  The
+    # builder packs valid records as a prefix — assert it, since the
+    # early-exit silently drops any record past the count.
+    count = valid.sum(1)
+    assert (valid == (np.arange(K)[None, :] < count[:, None])).all()
+    out[..., 15] = count[:, None].astype(np.float32)
     out = out.reshape(L, K_pad * TRI_F)
     # Pad rows to a multiple of 8: the resident-mode flush fetches an
     # 8-aligned (8, W) window around each pending slot.
@@ -278,7 +293,8 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
                      sk_row, sk_px, sk_py, sk_pz, sk_leaving, sk_inside,
                      sk_scale, out_row, out_t, *rest,
                      n_nodes, K, eps_behind, eps_pos, leaf_kind="tri",
-                     want_stats=False, walk_only=False, leaf_resident=True):
+                     want_stats=False, walk_only=False, leaf_resident=True,
+                     coplanar=True):
     # Detail outputs (round 5): the winner's full hit record is committed
     # IN-KERNEL per leaf-record test, so the dispatch layer never gathers
     # [R] rows from the primitive tables (XLA row gathers measured as the
@@ -354,17 +370,27 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
         v_n = inv * (d_x * ocx + d_y * ocy + d_z * ocz)
         t_n = inv * (e2x * ocx + e2y * ocy + e2z * ocz)
 
-        on_plane = jnp.abs(fx * fnx + fy * fny + fz * fnz) <= eps_behind
-        degen = (det == 0) & on_plane
-        u = jnp.where(degen, e1x * fx + e1y * fy + e1z * fz, u_n)
-        v = jnp.where(degen, e2x * fx + e2y * fy + e2z * fz, v_n)
-        tt = jnp.where(degen, 0.0, t_n)
-        inside_geo = degen | (inv < 0)
+        if coplanar:
+            # Scalar-tier coplanar ray-in-plane case (Triangle.cs:161-171).
+            on_plane = jnp.abs(fx * fnx + fy * fny + fz * fnz) <= eps_behind
+            degen = (det == 0) & on_plane
+            u = jnp.where(degen, e1x * fx + e1y * fy + e1z * fz, u_n)
+            v = jnp.where(degen, e2x * fx + e2y * fy + e2z * fz, v_n)
+            tt = jnp.where(degen, 0.0, t_n)
+            inside_geo = degen | (inv < 0)
+            ok_det = (degen | (tt >= -eps_behind)) & ((det != 0) | degen)
+        else:
+            # Production tier (config.FUSED_COPLANAR_BRANCH=False): the
+            # reference's own AVX path has no coplanar branch
+            # (Triangle.cs:107-125); matches the megakernel's static
+            # default and saves ~1/4 of the flush's per-record ops.
+            u, v, tt = u_n, v_n, t_n
+            inside_geo = inv < 0
+            ok_det = (tt >= -eps_behind) & (det != 0)
 
         uv_lim = jnp.where(mirror, v, u + v)
         ok = ((u >= 0) & (u <= 1) & (v >= 0) & (uv_lim <= 1)
-              & (degen | (tt >= -eps_behind)) & ((det != 0) | degen)
-              & (row >= 0))
+              & ok_det & (row >= 0))
         inside = jnp.logical_xor(inside_geo, inv_f)
         ok = ok & (two_s | ~inside)
 
@@ -586,7 +612,8 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
             mi = jnp.where(row_iota1 == r,
                            (pends[r] >= 0).astype(jnp.int32), mi)
         maskb = mi != 0
-        for k in range(K):
+
+        def test_k(k):
             ok, tt, row, detail = leaf_test(
                 lambda c, k=k: leaf_vmem[:, k * rec_f + c:k * rec_f + c + 1])
             better = ok & (tt < best_t_ref[:]) & maskb
@@ -595,6 +622,29 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
             for j in range(10):
                 best_d_ref[j] = jnp.where(better, detail[j],
                                           best_d_ref[j])
+
+        CH = 16
+        if CHUNK_FLUSH and leaf_kind == "tri" and leaf_resident \
+                and K > CH:
+            # Chunked early-exit: every record's slot 15 carries its
+            # leaf's valid count (pack_leaf_tris), so the max over the
+            # pending rows — 8 static-index scalar loads from the
+            # assembled scratch — bounds the flush; binned-SAH leaves
+            # average ~67% of the cap, so trailing chunks are often all
+            # dead.  Records past the count are a padding suffix
+            # (asserted at pack time).
+            cmax = jnp.float32(0.0)
+            for r in range(CHAINS):
+                cr = jnp.where(pends[r] >= 0, leaf_vmem[r, 15], 0.0)
+                cmax = jnp.maximum(cmax, cr)
+            for c0 in range(0, K, CH):
+                @pl.when(jnp.float32(c0) < cmax)
+                def _chunk(c0=c0):
+                    for k in range(c0, min(c0 + CH, K)):
+                        test_k(k)
+        else:
+            for k in range(K):
+                test_k(k)
 
     p_last = jnp.int32(n_nodes - 1)
     N_STATS = 5  # iters, visits, leaf-takes, flushes, flush-fill
@@ -798,10 +848,11 @@ def _traverse_kernel(nodes_ref, leaf_hbm, ox, oy, oz, dx, dy, dz,
                    static_argnames=("n_nodes", "K", "interpret",
                                     "eps_behind", "eps_pos", "leaf_kind",
                                     "want_stats", "walk_only",
-                                    "leaf_resident"))
+                                    "leaf_resident", "coplanar"))
 def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
                    eps_behind, eps_pos, interpret=False, leaf_kind="tri",
-                   want_stats=False, walk_only=False, leaf_resident=True):
+                   want_stats=False, walk_only=False, leaf_resident=True,
+                   coplanar=True):
     R = rays[0].shape[0]
     assert R % BLOCK == 0
     grid = (R // BLOCK,)
@@ -813,7 +864,7 @@ def _traverse_call(nodes, leaf_tris, rays, skip_fields, *, n_nodes, K,
         _traverse_kernel, n_nodes=n_nodes, K=K,
         eps_behind=float(eps_behind), eps_pos=float(eps_pos),
         leaf_kind=leaf_kind, want_stats=want_stats, walk_only=walk_only,
-        leaf_resident=leaf_resident)
+        leaf_resident=leaf_resident, coplanar=coplanar)
     # Outputs: row, t, then the 10 winner-detail planes (prim, pos3,
     # flat-normal3, inside-flags, u, v), then optional stats.
     f32r = jax.ShapeDtypeStruct((R,), jnp.float32)
@@ -933,7 +984,7 @@ class PallasBVH:
 
     def select(self, ray_o, ray_d, skip, eps_behind, eps_pos,
                interpret=False, sort: bool = False, want_stats=False,
-               walk_only=False, want_detail=False):
+               walk_only=False, want_detail=False, coplanar=None):
         # (leaf residency is decided per-instance in _init_common)
         """(best_row [R] i32 or -1, any [R] bool) — dispatch tri_select.
 
@@ -996,13 +1047,18 @@ class PallasBVH:
             idx_s = out[1]
             rays, sk = out[2:8], out[8:]
 
+        if coplanar is None:
+            # Match the megakernel's static production default (the
+            # reference AVX tier has no coplanar branch — config.py).
+            from ..config import FUSED_COPLANAR_BRANCH
+            coplanar = FUSED_COPLANAR_BRANCH
         out = _traverse_call(
             self.nodes, self.leaf_tris, rays, sk,
             n_nodes=self.n_nodes, K=self.K,
             eps_behind=float(eps_behind), eps_pos=float(eps_pos),
             interpret=interpret, leaf_kind=self.leaf_kind,
             want_stats=want_stats, walk_only=walk_only,
-            leaf_resident=self.leaf_resident)
+            leaf_resident=self.leaf_resident, coplanar=bool(coplanar))
         row, t = out[0], out[1]
         detail_planes = out[2:12]
         if idx_s is not None:
